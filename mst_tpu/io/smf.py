@@ -244,27 +244,30 @@ def encode_midi(data: MidiFileData) -> bytes:
     out = bytearray()
     out += b"MThd" + struct.pack(">IHHH", 6, data.format, len(data.tracks),
                                  data.ticks_per_beat)
+    _CHANNEL_STATUS = {EV_NOTE_OFF: 0x80, EV_NOTE_ON: 0x90, EV_POLYTOUCH: 0xA0,
+                       EV_CONTROL: 0xB0, EV_PROGRAM: 0xC0, EV_AFTERTOUCH: 0xD0,
+                       EV_PITCHWHEEL: 0xE0}
     for track in data.tracks:
         body = bytearray()
+        running_status = None  # mido writes with running status
         for i in range(len(track)):
             _write_varlen(int(track.delta[i]), body)
             ev = int(track.type[i]); a = int(track.a[i]); b = int(track.b[i])
             ch = int(track.channel[i]) & 0x0F
-            if ev == EV_NOTE_OFF:
-                body += bytes((0x80 | ch, a, b))
-            elif ev == EV_NOTE_ON:
-                body += bytes((0x90 | ch, a, b))
-            elif ev == EV_POLYTOUCH:
-                body += bytes((0xA0 | ch, a, b))
-            elif ev == EV_CONTROL:
-                body += bytes((0xB0 | ch, a, b))
-            elif ev == EV_PROGRAM:
-                body += bytes((0xC0 | ch, a))
-            elif ev == EV_AFTERTOUCH:
-                body += bytes((0xD0 | ch, a))
-            elif ev == EV_PITCHWHEEL:
-                body += bytes((0xE0 | ch, a & 0x7F, (a >> 7) & 0x7F))
-            elif ev == EV_TEMPO:
+            if ev in _CHANNEL_STATUS:
+                status = _CHANNEL_STATUS[ev] | ch
+                if status != running_status:
+                    body.append(status)
+                    running_status = status
+                if ev == EV_PITCHWHEEL:
+                    body += bytes((a & 0x7F, (a >> 7) & 0x7F))
+                elif ev in (EV_PROGRAM, EV_AFTERTOUCH):
+                    body.append(a)
+                else:
+                    body += bytes((a, b))
+                continue
+            running_status = None
+            if ev == EV_TEMPO:
                 body += bytes((0xFF, 0x51, 3)) + int(a).to_bytes(3, "big")
             elif ev == EV_TIME_SIG:
                 pow2 = int(b).bit_length() - 1

@@ -132,3 +132,74 @@ def detect_scale(keys_dist):
             d = np.concatenate([d[1:], d[:1]])
     best = min(results, key=lambda x: x[0])
     return best[1], best[2], best[0]
+
+
+# --- per-note oracle rasterization pipeline (naive; mirrors the reference's
+# ChannelConverter loops for cross-checking the vectorized implementation) ---
+
+def pair_notes_naive(is_on, note, velocity, time):
+    """Dict-based note_on/note_off pairing exactly like the reference
+    (one open note per id; any same-id event closes it)."""
+    open_notes = {}
+    notes = []  # list of dicts with note_id, time, end_time, velocity
+    for i in range(len(is_on)):
+        nid = int(note[i])
+        if nid in open_notes:
+            open_notes[nid]["end_time"] = int(time[i])
+            del open_notes[nid]
+        if is_on[i]:
+            rec = {"note_id": nid, "time": int(time[i]),
+                   "end_time": int(time[i]), "velocity": float(velocity[i])}
+            notes.append(rec)
+            open_notes[nid] = rec
+    return notes
+
+
+FRACTIONS = None  # filled lazily
+
+
+def _fractions(divisors=(8, 3)):
+    from fractions import Fraction
+    return sorted({Fraction(i, d) for d in divisors for i in range(d)})
+
+
+def rasterize_naive(notes, tonic, is_minor, pitched, ticks_per_beat,
+                    ticks_per_bar, n_bars, n_beats, divisors=(8, 3),
+                    n_octaves=8, min_perc=35, max_perc=81):
+    """Per-note scale-map + quantize + scatter-max, mirroring
+    qchannel2vchannel semantics."""
+    from fractions import Fraction
+    fracs = _fractions(divisors)
+    frac2idx = {f: i for i, f in enumerate(fracs)}
+    n_notes = n_octaves * 7 if pitched else max_perc - min_perc + 1
+    n_feat = 5 if pitched else 2
+    out = np.zeros((n_bars + 1, n_beats, len(fracs), n_notes, n_feat))
+    for rec in notes:
+        t = rec["time"]
+        qtime, divisor = quantize_time(t, ticks_per_beat, divisors)
+        qduration = rec["end_time"] - qtime
+        bar, rem = divmod(qtime, ticks_per_bar)
+        beat, ticks = divmod(rem, ticks_per_beat)
+        quants = int(ticks // (ticks_per_beat / divisor))
+        frac_idx = frac2idx[Fraction(quants, divisor)]
+        if pitched:
+            octave, degree, acc = note_to_scale_loc(rec["note_id"], tonic,
+                                                    is_minor)
+            note_idx = octave * 7 + (degree - 1)
+            if note_idx < 0 or note_idx >= n_notes:
+                continue
+        else:
+            note_idx = rec["note_id"] - min_perc
+            if note_idx < 0 or note_idx >= n_notes:
+                continue
+            acc = None
+        if bar < 0 or bar >= out.shape[0]:
+            continue
+        features = np.zeros(n_feat)
+        features[0] = qduration / ticks_per_beat
+        features[1] = rec["velocity"]
+        if pitched:
+            features[2 + {"flat": 0, "none": 1, "sharp": 2}[acc]] = 1.0
+        cell = out[bar, beat, frac_idx, note_idx]
+        out[bar, beat, frac_idx, note_idx] = np.maximum(cell, features)
+    return out
