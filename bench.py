@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Headline benchmark: full-song MIDI -> styled-MIDI, songs/sec on one chip.
+
+Measures the complete style-transfer path of BASELINE.json's north star on the
+bundled "Sweet Dreams" example: MIDI ingestion (parse -> scale detection ->
+rasterize), latent extraction, song-info prediction + style application
+(jit-compiled model), hard-output decode, and .mid synthesis. Steady-state
+timing (first run pays jit compiles and is excluded).
+
+The reference publishes no throughput numbers (BASELINE.md); the baseline used
+for ``vs_baseline`` is the north-star target of 1 song/sec (<1 s per song,
+BASELINE.json). The model is freshly initialized with the velocity head biased
+negative so output density matches a trained model's sparse piano roll rather
+than random-init half-density (infrastructure cost, not model quality, is what
+this measures).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+COMPOSITION = ("/root/reference/examples/style transfer - midi/"
+               "Sweet Dreams/original/Sweet Dreams.mid")
+STYLE = ("/root/reference/examples/style transfer - midi/"
+         "My Way/original/Angie.4.mid")
+TARGET_SONGS_PER_SEC = 1.0  # north star: <1 s per full song
+
+
+def sparsify_velocity_bias(params):
+    """Bias the appliers' final-layer velocity logit negative so hard_output
+    yields a realistically sparse roll (~trained-model density)."""
+    import jax.numpy as jnp
+    for name in ("pitched_style_applier", "unpitched_style_applier"):
+        layer = params["params"][name]["linear"]
+        bias = layer["bias"]
+        layer["bias"] = bias.at[1].set(-5.0)
+    return params
+
+
+def run_once(bundle, out_dir):
+    from mst_tpu.transfer import transfer_style
+    return transfer_style(bundle, COMPOSITION, [STYLE], out_dir)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mst_tpu.models import StyleTransferModel
+    from mst_tpu.transfer import ModelBundle
+
+    model = StyleTransferModel()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.array([[1.0, 0.0]]), jnp.array([120.0]),
+        jnp.zeros((1, 1, 4, 4, 10, 56, 5)),
+        jnp.zeros((1, 1, 51)).at[0, 0, 0].set(1.0),
+        jnp.zeros((1, 1, 4, 4, 10, 47, 2)))
+    params = dict(params)
+    params = sparsify_velocity_bias(params)
+    bundle = ModelBundle(model=model, params=params)
+
+    # warmup: pays all jit compiles for this song's shapes
+    run_once(bundle, "/tmp/bench_warmup")
+
+    n_runs = 3
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        run_once(bundle, f"/tmp/bench_run_{i}")
+    elapsed = time.perf_counter() - t0
+
+    # each run ingests 2 songs and produces 2 styled outputs + 2 originals;
+    # the headline unit is one full composition->styled-song pipeline
+    per_song = elapsed / n_runs
+    songs_per_sec = 1.0 / per_song
+    print(json.dumps({
+        "metric": "midi_to_styled_midi_full_pipeline",
+        "value": round(songs_per_sec, 4),
+        "unit": "songs/sec/chip",
+        "vs_baseline": round(songs_per_sec / TARGET_SONGS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,114 @@
+"""Style appliers: latents -> dense note tensors.
+
+Parity: style/model.py:565-724. Output activations: duration = 6*sigmoid,
+velocity = sigmoid, accidentals = sigmoid (:565-579).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mst_tpu.models.layers import Dense, leaky_relu, mean_size
+from mst_tpu.ops.shapes import cat_with_broadcast, squash_dims
+
+N_OCTAVES = 8
+N_SCALE_DEGREES = 7
+N_BEAT_FRACTIONS = 10
+N_PITCHED_FEATURES = 5
+N_UNPITCHED_FEATURES = 2
+N_UNPITCHED_NOTES = 47
+MAX_DURATION = 6.0
+
+
+def duration_activation(x):
+    return jax.nn.sigmoid(x) * MAX_DURATION
+
+
+class PitchedStyleApplier(nn.Module):
+    """Parity: style/model.py:582-675."""
+
+    style_size: int = 256
+    melody_size: int = 8
+    rhythm_size: int = 32
+
+    @nn.compact
+    def __call__(self, style, melody, rhythm, instruments):
+        p = N_PITCHED_FEATURES
+        linears_out = p * 6
+
+        x = Dense(mean_size(self.style_size, p, factor=0.5),
+                  name="style_linear")(style)
+        x = leaky_relu(x)
+        x1 = x[:, None, None, None, None, :]            # (B,1,1,1,1,F)
+
+        x = Dense(mean_size(self.rhythm_size, p, factor=0.5),
+                  name="rhythm_linear")(rhythm)         # (B,R,T,F10,F)
+        x = leaky_relu(x)
+        x2 = x[:, None, :, :, :, :]                     # (B,1,R,T,F10,F)
+
+        x = Dense(mean_size(instruments.shape[-1], p, factor=0.4),
+                  name="instruments_linear")(instruments)
+        x = leaky_relu(x)
+        x3 = x[:, :, None, None, None, :]               # (B,C,1,1,1,F)
+
+        y = cat_with_broadcast([x1, x2, x3], -1)        # (B,C,R,T,F10,88)
+
+        x = Dense(linears_out * N_OCTAVES, name="octave_linear")(y)
+        x = x.reshape(x.shape[:-1] + (N_OCTAVES, linears_out))
+        x1 = leaky_relu(x)[..., :, None, :]
+
+        x = Dense(linears_out * N_SCALE_DEGREES, name="scale_degree_linear")(y)
+        x = x.reshape(x.shape[:-1] + (N_SCALE_DEGREES, linears_out))
+        x2 = leaky_relu(x)[..., None, :, :]
+
+        x = leaky_relu(x1 + x2)                         # (..,oct,deg,30)
+        x1 = squash_dims(x, 5, 7)                       # (B,C,R,T,F10,56,30)
+
+        x = Dense(mean_size(self.melody_size, p, factor=3),
+                  name="melody_linear")(melody)         # (B,R,T,F10,56,20)
+        x = leaky_relu(x)
+        x2 = x[:, None]                                 # (B,1,R,T,F10,56,20)
+
+        x = cat_with_broadcast([x1, x2], -1)
+        x = Dense(p, name="linear")(x)                  # (B,C,R,T,F10,56,5)
+
+        duration = duration_activation(x[..., :1])
+        velocity = jax.nn.sigmoid(x[..., 1:2])
+        accidentals = jax.nn.sigmoid(x[..., 2:])
+        return jnp.concatenate([duration, velocity, accidentals], -1)
+
+
+class UnpitchedStyleApplier(nn.Module):
+    """Parity: style/model.py:678-724 — a single percussion channel."""
+
+    style_size: int = 256
+    rhythm_size: int = 32
+
+    @nn.compact
+    def __call__(self, style, rhythm):
+        u = N_UNPITCHED_FEATURES
+        style_linear_size = mean_size(self.style_size, u, factor=0.5)
+        notes_linear_size = u * 4
+
+        x = Dense(N_BEAT_FRACTIONS * style_linear_size,
+                  name="style_linear")(style)
+        x = leaky_relu(x)
+        x1 = x.reshape(x.shape[0], 1, 1, N_BEAT_FRACTIONS, style_linear_size)
+
+        x = Dense(mean_size(self.rhythm_size, u, factor=1.0),
+                  name="rhythm_linear")(rhythm)          # (B,R,T,F10,F)
+        x2 = leaky_relu(x)
+
+        x = cat_with_broadcast([x1, x2], -1)             # (B,R,T,F10,82)
+        x = Dense(N_UNPITCHED_NOTES * notes_linear_size,
+                  name="notes_linear")(x)
+        x = leaky_relu(x)
+        x = x.reshape(x.shape[:4] + (N_UNPITCHED_NOTES, notes_linear_size))
+        x = Dense(u, name="linear")(x)                   # (B,R,T,F10,47,2)
+
+        duration = duration_activation(x[..., :1])
+        velocity = jax.nn.sigmoid(x[..., 1:2])
+        x = jnp.concatenate([duration, velocity], -1)
+        return x[:, None]                                # (B,1,R,T,F10,47,2)

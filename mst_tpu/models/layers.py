@@ -1,0 +1,72 @@
+"""Shared building blocks: torch-initialized Dense/Conv and the size formula.
+
+The reference derives every hidden width from ``get_mean_size``
+(style/model.py:31-33: ceil(mean(values) * factor)); layer parameters follow
+torch defaults (U(-1/sqrt(fan_in), +1/sqrt(fan_in))) so training dynamics are
+comparable even though the RNG streams differ.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def mean_size(*values, factor: float = 1.0) -> int:
+    """Parity: style/model.py:31-33."""
+    return math.ceil(float(np.mean(values)) * factor)
+
+
+def _uniform(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class Dense(nn.Module):
+    """nn.Linear with torch-default init (weight and bias U(+-1/sqrt(fan_in)))."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        bound = 1.0 / math.sqrt(fan_in)
+        kernel = self.param("kernel", _uniform(bound), (fan_in, self.features))
+        bias = self.param("bias", _uniform(bound), (self.features,))
+        return x @ kernel + bias
+
+
+class Conv1d(nn.Module):
+    """1-D convolution over the trailing spatial axis of (N, C_in, W) inputs,
+    with torch-default init (parity target: the note->octave pooling conv,
+    style/model.py:46-53: kernel 14, stride 7, pad 4)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-2] * self.kernel_size
+        bound = 1.0 / math.sqrt(fan_in)
+        kernel = self.param("kernel", _uniform(bound),
+                            (self.features, x.shape[-2], self.kernel_size))
+        bias = self.param("bias", _uniform(bound), (self.features,))
+        out = jax.lax.conv_general_dilated(
+            x, kernel,
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            dimension_numbers=("NCW", "OIW", "NCW"),
+        )
+        return out + bias[None, :, None]
+
+
+def leaky_relu(x):
+    """torch F.leaky_relu default slope 0.01 (used everywhere in model.py)."""
+    return jax.nn.leaky_relu(x, negative_slope=0.01)

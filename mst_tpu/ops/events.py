@@ -95,7 +95,7 @@ class SongInfo:
     numerator: int
     denominator: int
     key_signature: Optional[Tuple[int, int]]
-    duration: int
+    duration: Optional[int]
     ticks_per_bar: int
     n_bars: float
     n_beats: int
@@ -110,14 +110,19 @@ class SongInfo:
                 "value": self.numerator / self.denominator}
 
     def as_create_midi_info(self) -> dict:
-        return {
+        """Info dict for create_midi. ``duration=None`` (a combined style+melody
+        info, style_transfer.py:134-142) is omitted so create_midi falls back to
+        last-message-time + one bar (style/midi.py:158)."""
+        info = {
             "ticks_per_beat": self.ticks_per_beat,
             "time_signature": {"numerator": self.numerator,
                                "denominator": self.denominator},
             "tempo": self.tempo,
             "ticks_per_bar": self.ticks_per_bar,
-            "duration": self.duration,
         }
+        if self.duration is not None:
+            info["duration"] = self.duration
+        return info
 
 
 def get_midi_info(global_events: EventStream, channels: List[EventStream],

@@ -1,0 +1,130 @@
+"""Fused LSTM for TPU: one big input projection + a lean lax.scan recurrence.
+
+Replaces the reference's nn.LSTM / TimeDistributed stacks
+(style/utils/pytorch.py:19-51, used throughout style/model.py). TPU-first
+design:
+
+- the input projection ``x @ W_ih^T + b`` for *all* timesteps is one large
+  matmul (MXU-friendly, batch*time rows), hoisted out of the recurrence;
+- the scan body is a single (N, H) x (H, 4H) matmul plus elementwise gates —
+  the minimal serial work per step;
+- gate order (i, f, g, o) and parameter initialization U(-1/sqrt(H), 1/sqrt(H))
+  match torch.nn.LSTM so training dynamics are comparable;
+- padded sequences: final states are read at ``lengths-1``; bidirectional runs
+  the backward pass over a per-row flipped valid prefix (ops.shapes.masked_flip)
+  so padding never leaks into the backward carry.
+
+The "Distributed" pattern (apply over flattened leading dims) is a reshape —
+callers flatten (batch, channel, bar) themselves, exactly like the reference's
+wrapper but with zero module machinery.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mst_tpu.ops.shapes import masked_flip, masked_last
+
+
+def _uniform_init(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class LSTMCellParams(nn.Module):
+    """Parameter container for one direction: W_ih (D,4H), W_hh (H,4H), b (4H)."""
+
+    features: int
+    input_size: int
+
+    @nn.compact
+    def __call__(self):
+        h = self.features
+        bound = 1.0 / (h ** 0.5)
+        w_ih = self.param("w_ih", _uniform_init(bound), (self.input_size, 4 * h))
+        w_hh = self.param("w_hh", _uniform_init(bound), (h, 4 * h))
+        # torch keeps two bias vectors (b_ih + b_hh); their sum is what enters
+        # the gates — a single parameter of twice the init variance is kept as
+        # two for init parity
+        b_ih = self.param("b_ih", _uniform_init(bound), (4 * h,))
+        b_hh = self.param("b_hh", _uniform_init(bound), (4 * h,))
+        return w_ih, w_hh, b_ih + b_hh
+
+
+def _lstm_scan(x, w_ih, w_hh, b, reverse: bool = False):
+    """x: (N, T, D) -> outputs (N, T, H); scan is time-major internally."""
+    n, t, _ = x.shape
+    h_dim = w_hh.shape[0]
+    gates_x = jnp.einsum("ntd,dk->ntk", x, w_ih) + b  # one MXU matmul
+    gates_x = jnp.swapaxes(gates_x, 0, 1)  # (T, N, 4H)
+    if reverse:
+        gates_x = gates_x[::-1]
+
+    def step(carry, gx):
+        h, c = carry
+        gates = gx + h @ w_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((n, h_dim), x.dtype), jnp.zeros((n, h_dim), x.dtype))
+    _, outputs = jax.lax.scan(step, init, gates_x)
+    if reverse:
+        outputs = outputs[::-1]
+    return jnp.swapaxes(outputs, 0, 1)  # (N, T, H)
+
+
+class LSTM(nn.Module):
+    """Unidirectional batch-first LSTM returning full outputs.
+
+    Equivalent to the reference's LSTM wrapper (utils/pytorch.py:19-25); the
+    final hidden state is ``outputs[:, -1]`` (or ``masked_last`` with lengths).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, lengths: Optional[jnp.ndarray] = None):
+        w_ih, w_hh, b = LSTMCellParams(self.features, x.shape[-1],
+                                       name="cell")()
+        out = _lstm_scan(x, w_ih, w_hh, b)
+        if lengths is None:
+            last = out[:, -1]
+        else:
+            last = masked_last(out, lengths)
+        return out, last
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional batch-first LSTM; output feature dim = 2*features.
+
+    With ``lengths``, the backward direction scans the flipped valid prefix so
+    each row's backward pass starts at its own last valid step (equivalent to
+    the reference's behavior on unpadded batch=1 inputs).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, lengths: Optional[jnp.ndarray] = None):
+        w_ih_f, w_hh_f, b_f = LSTMCellParams(self.features, x.shape[-1],
+                                             name="fwd")()
+        w_ih_b, w_hh_b, b_b = LSTMCellParams(self.features, x.shape[-1],
+                                             name="bwd")()
+        fwd = _lstm_scan(x, w_ih_f, w_hh_f, b_f)
+        if lengths is None:
+            bwd = _lstm_scan(x, w_ih_b, w_hh_b, b_b, reverse=True)
+        else:
+            flipped = masked_flip(x, lengths)
+            bwd = masked_flip(_lstm_scan(flipped, w_ih_b, w_hh_b, b_b), lengths)
+        return jnp.concatenate([fwd, bwd], axis=-1)

@@ -1,0 +1,3 @@
+from mst_tpu.parallel.mesh import (  # noqa: F401
+    create_mesh, shard_batch, replicate, make_sharded_train_step,
+)

@@ -1,0 +1,78 @@
+"""Device-mesh layer: data-parallel (and future sequence-parallel) training.
+
+The reference is strictly single-device (SURVEY.md §2.4: no torch.distributed,
+batch size 1). Here scaling is mesh-native JAX:
+
+- a ``Mesh`` with axes ``(data, seq)`` over all local (or multi-host) devices;
+- the batch axis of every Batch array is sharded over ``data`` via
+  NamedSharding; params/optimizer state are replicated;
+- the jitted train step then compiles with XLA inserting the gradient
+  all-reduce (psum) over ICI — no hand-written collectives in the DP path;
+- ``jax.distributed.initialize()`` (multi-host DCN) is the deployment story for
+  pods; the same code path compiles unchanged.
+
+Sequence (bar-axis) sharding for full-length songs — ppermute-carried LSTM
+state — is the planned extension on the ``seq`` axis (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mst_tpu.config import Config
+from mst_tpu.models import StyleTransferModel
+from mst_tpu.runtime.train import Batch, TrainState, make_train_step
+
+
+def create_mesh(n_data: Optional[int] = None, n_seq: int = 1,
+                devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None or n_data < 0:
+        n_data = len(devices) // n_seq
+    devices = np.asarray(devices[:n_data * n_seq]).reshape(n_data, n_seq)
+    return Mesh(devices, axis_names=("data", "seq"))
+
+
+def _batch_spec(batch: Batch) -> Batch:
+    """PartitionSpec per Batch field: batch axis over ``data``, rest replicated."""
+    def spec(x):
+        if x is None:
+            return None
+        return P("data", *([None] * (x.ndim - 1)))
+    return Batch(*[spec(x) for x in batch])
+
+
+def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
+    """device_put every array with its batch axis sharded over ``data``."""
+    specs = _batch_spec(batch)
+    out = []
+    for x, spec in zip(batch, specs):
+        if x is None:
+            out.append(None)
+        else:
+            out.append(jax.device_put(x, NamedSharding(mesh, spec)))
+    return Batch(*out)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params / TrainState) across the whole mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
+def make_sharded_train_step(model: StyleTransferModel, config: Config,
+                            has_unpitched: bool, mesh: Mesh):
+    """The standard train step jitted with explicit input shardings: state
+    replicated, batch sharded over ``data``. XLA adds the grad psum over ICI."""
+    step = make_train_step(model, config, has_unpitched)
+
+    def sharded_step(state: TrainState, batch: Batch):
+        batch = shard_batch(batch, mesh)
+        return step(state, batch)
+
+    return sharded_step

@@ -1,0 +1,136 @@
+"""Training observability: EMA-smoothed progress display + append-only CSV.
+
+Parity target: style/utils/misc.py:17-82 (ProgressBar with momentum-.99 EMA)
+and style/utils/data.py:27-46 + train-model.py:143-149 (flattened loss dict to
+training.csv, one row per iteration, header on create). Adds step timing and an
+optional jax profiler trace hook — the reference has no profiling at all
+(SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import contextlib
+import csv
+import math
+import os
+import time
+from typing import Dict, Optional
+
+from tqdm import tqdm
+
+
+class EmaMeter:
+    """Biased EMA metric tracker (parity: ProgressBar's update_values,
+    utils/misc.py:49-63: sum/seen pairs each decayed by momentum)."""
+
+    def __init__(self, momentum: float = 0.99):
+        self.momentum = momentum
+        self.sums: Dict[str, float] = {}
+        self.seen: Dict[str, float] = {}
+
+    def update(self, n: float = 1, **values):
+        for key, value in values.items():
+            if value is None or (isinstance(value, float) and math.isnan(value)):
+                continue
+            self.sums[key] = self.sums.get(key, 0.0) * self.momentum + value * n
+            self.seen[key] = self.seen.get(key, 0.0) * self.momentum + n
+
+    @property
+    def averages(self) -> Dict[str, float]:
+        return {k: self.sums[k] / self.seen[k] for k in self.sums}
+
+
+class ProgressBar:
+    """tqdm wrapper showing the EMA averages as a postfix
+    (parity: utils/misc.py:17-82)."""
+
+    def __init__(self, n_iterations: Optional[int] = None,
+                 momentum: float = 0.99):
+        self.meter = EmaMeter(momentum)
+        self.pbar = tqdm(total=n_iterations)
+
+    def add(self, n: int = 1, **values):
+        self.pbar.update(n)
+        self.meter.update(n, **values)
+        postfix = ", ".join(f"{k}: {v:.2f}"
+                            for k, v in self.meter.averages.items())
+        self.pbar.set_postfix_str(postfix)
+
+    def close(self):
+        self.pbar.close()
+
+    def __getitem__(self, key):
+        return self.meter.averages[key]
+
+
+class CsvLogger:
+    """Append-mode dict-row CSV with header-on-create
+    (parity: save_to_csv, utils/data.py:27-46)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        directory = os.path.dirname(path)
+        if directory:
+            os.makedirs(directory, exist_ok=True)
+
+    def append(self, **row):
+        write_header = not os.path.isfile(self.path)
+        with open(self.path, "a", encoding="utf-8", newline="") as f:
+            writer = csv.DictWriter(f, list(row.keys()))
+            if write_header:
+                writer.writeheader()
+            writer.writerow(row)
+
+
+def flatten_losses(losses, prefix: str = "") -> Dict[str, float]:
+    """LossDict -> the reference's flattened CSV column names
+    (flatten_dict(..., reducer='underscore'), train-model.py:148)."""
+    nested = losses.as_nested_dict() if hasattr(losses, "as_nested_dict") \
+        else losses
+    out: Dict[str, float] = {}
+
+    def walk(d, path):
+        for key, value in d.items():
+            name = f"{path}_{key}" if path else key
+            if isinstance(value, dict):
+                walk(value, name)
+            elif value is None:
+                out[name] = None
+            else:
+                out[name] = float(value)
+    walk(nested, prefix)
+    return out
+
+
+class StepTimer:
+    """Wall-clock per-step timing with warmup discard (new capability)."""
+
+    def __init__(self, warmup: int = 2):
+        self.warmup = warmup
+        self.times = []
+        self._t0 = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.times.append(time.perf_counter() - self._t0)
+
+    @property
+    def mean(self) -> float:
+        steady = self.times[self.warmup:] or self.times
+        return sum(steady) / max(len(steady), 1)
+
+
+@contextlib.contextmanager
+def profiler_trace(log_dir: Optional[str]):
+    """jax.profiler trace scope; no-op when log_dir is None."""
+    if log_dir is None:
+        yield
+        return
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,222 @@
+"""The jit-compiled training step: forward + loss + summed-gradient
+accumulation + Adam with step decay.
+
+Parity target: train-model.py:89-160 —
+- Adam(lr=.01) with StepLR(step_size=200, gamma=.9) applied once per optimizer
+  step (train-model.py:89-90,151-154);
+- gradient accumulation over ``iter_size`` songs by *summing* gradients
+  (``loss.backward()`` per song with one ``optimizer.step()``), reproduced
+  exactly: grads are summed, not averaged;
+- the loss call uses normalize=True (train-model.py:118).
+
+TPU-first: the whole micro-step (forward, backward, accumulate, conditional
+apply) is one jitted function; under a device mesh the same function is
+pjit-sharded with batch-axis sharding and XLA inserts the gradient psum over
+ICI (see mst_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mst_tpu.config import Config
+from mst_tpu.data.pipeline import Song, get_used_instruments
+from mst_tpu.models import StyleTransferModel
+from mst_tpu.ops.losses import LossDict, total_loss
+
+
+class Batch(NamedTuple):
+    """A padded, fixed-shape batch of songs."""
+
+    mode: jnp.ndarray                 # (B, 2)
+    bpm: jnp.ndarray                  # (B,)
+    pitched: jnp.ndarray              # (B, C, R, T, 10, 56, 5)
+    instruments_features: jnp.ndarray  # (B, C, 51)
+    unpitched: Optional[jnp.ndarray]  # (B, Cu, R, T, 10, 47, 2) or None
+    used_instruments: jnp.ndarray     # (B, 41)
+    bar_lengths: jnp.ndarray          # (B,)
+    channel_mask: jnp.ndarray         # (B, C)
+    uchannel_mask: Optional[jnp.ndarray]  # (B, Cu) or None
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    accum_grads: Any
+    micro_step: jnp.ndarray   # total micro-steps taken (iterations)
+    opt_step: jnp.ndarray     # optimizer applications (scheduler steps)
+
+
+def make_lr_schedule(config: Config):
+    """lr * gamma^(opt_step // step_size) (parity: StepLR, train-model.py:90)."""
+    t = config.train
+
+    def schedule(opt_step):
+        return t.learning_rate * (t.lr_decay_gamma **
+                                  (opt_step // t.lr_decay_every))
+    return schedule
+
+
+def make_optimizer(config: Config):
+    # torch Adam defaults: betas (0.9, 0.999), eps 1e-8 (train-model.py:89).
+    # optax's update count increments once per optimizer application, which is
+    # exactly the reference's scheduler step, so StepLR is a schedule function.
+    return optax.adam(learning_rate=make_lr_schedule(config))
+
+
+def create_train_state(model: StyleTransferModel, config: Config,
+                       sample_batch: Batch, rng) -> TrainState:
+    params = model.init(
+        rng, sample_batch.mode, sample_batch.bpm, sample_batch.pitched,
+        sample_batch.instruments_features, sample_batch.unpitched,
+        bar_lengths=sample_batch.bar_lengths,
+        channel_mask=sample_batch.channel_mask,
+        uchannel_mask=sample_batch.uchannel_mask)
+    opt = make_optimizer(config)
+    opt_state = opt.init(params)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return TrainState(params=params, opt_state=opt_state, accum_grads=zeros,
+                      micro_step=jnp.zeros((), jnp.int32),
+                      opt_step=jnp.zeros((), jnp.int32))
+
+
+def loss_fn(model: StyleTransferModel, params, batch: Batch,
+            has_unpitched: bool, mean_type: str = "quadratic") -> LossDict:
+    (inst_pred, mode_pred, bpm_pred), x_pitched, x_unpitched = model.apply(
+        params, batch.mode, batch.bpm, batch.pitched,
+        batch.instruments_features,
+        batch.unpitched if has_unpitched else None,
+        bar_lengths=batch.bar_lengths, channel_mask=batch.channel_mask,
+        uchannel_mask=batch.uchannel_mask if has_unpitched else None)
+
+    R = batch.pitched.shape[2]
+    bar_mask = (jnp.arange(R)[None, :] < batch.bar_lengths[:, None]
+                ).astype(batch.pitched.dtype)
+    p_mask = batch.channel_mask[:, :, None] * bar_mask[:, None, :]
+    u_mask = None
+    if has_unpitched:
+        u_mask = batch.uchannel_mask[:, :, None] * bar_mask[:, None, :]
+
+    return total_loss(
+        inst_pred, batch.used_instruments, mode_pred, batch.mode,
+        bpm_pred, batch.bpm,
+        x_pitched, batch.pitched,
+        x_unpitched, batch.unpitched if has_unpitched else None,
+        normalize=True, mean_type=mean_type,
+        pitched_pad_mask=p_mask, unpitched_pad_mask=u_mask)
+
+
+def make_train_step(model: StyleTransferModel, config: Config,
+                    has_unpitched: bool):
+    """One micro-step: grad, accumulate (sum), apply Adam every ``iter_size``
+    micro-steps with the decayed learning rate. Fully jit-compatible."""
+    opt = make_optimizer(config)
+    iter_size = config.train.iter_size
+
+    def step(state: TrainState, batch: Batch):
+        def scalar_loss(params):
+            losses = loss_fn(model, params, batch, has_unpitched)
+            return losses.total, losses
+
+        (loss, losses), grads = jax.value_and_grad(
+            scalar_loss, has_aux=True)(state.params)
+        accum = jax.tree_util.tree_map(jnp.add, state.accum_grads, grads)
+        micro_step = state.micro_step + 1
+        should_apply = (micro_step % iter_size) == 0
+
+        def apply(operand):
+            params, opt_state, accum, opt_step = operand
+            updates, new_opt_state = opt.update(accum, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, accum)
+            return new_params, new_opt_state, zeros, opt_step + 1
+
+        def skip(operand):
+            return operand
+
+        params, opt_state, accum, opt_step = jax.lax.cond(
+            should_apply, apply, skip,
+            (state.params, state.opt_state, accum, state.opt_step))
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               accum_grads=accum, micro_step=micro_step,
+                               opt_step=opt_step)
+        return new_state, losses
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def batch_from_song(song: Song, max_n_bars: Optional[int] = None,
+                    drop_empty_unpitched: bool = True) -> Optional[Batch]:
+    """Tensorize one song as a batch of one (the reference's training unit,
+    train-model.py:98-111): truncate bars, build mode/bpm/used-instruments,
+    full masks. Returns None for silent songs (parity :105-106)."""
+    from mst_tpu.data.pipeline import prepare_input
+    mode, bpm, pitched, instf, unpitched = prepare_input(song, max_n_bars)
+    if pitched.sum() == 0:
+        return None
+    if unpitched is not None and drop_empty_unpitched and unpitched.sum() == 0:
+        unpitched = None
+    used = get_used_instruments(instf, unpitched is not None)
+    B, C, R = pitched.shape[:3]
+    return Batch(
+        mode=jnp.asarray(mode), bpm=jnp.asarray(bpm),
+        pitched=jnp.asarray(pitched), instruments_features=jnp.asarray(instf),
+        unpitched=None if unpitched is None else jnp.asarray(unpitched),
+        used_instruments=jnp.asarray(used),
+        bar_lengths=jnp.full((B,), R, dtype=jnp.int32),
+        channel_mask=jnp.ones((B, C), dtype=jnp.float32),
+        uchannel_mask=(None if unpitched is None else
+                       jnp.ones((B, unpitched.shape[1]), dtype=jnp.float32)),
+    )
+
+
+def pad_batch(songs, max_channels: int, max_bars: int,
+              max_uchannels: int = 1):
+    """Collate songs into one fixed-shape Batch with masks (the TPU-native
+    batched-training path; no reference equivalent — SURVEY.md §2.4 DP row)."""
+    B = len(songs)
+    T = songs[0].pitched.shape[2]
+    pitched = np.zeros((B, max_channels, max_bars, T, 10, 56, 5), np.float32)
+    instf = np.zeros((B, max_channels, 51), np.float32)
+    unpitched = np.zeros((B, max_uchannels, max_bars, T, 10, 47, 2),
+                         np.float32)
+    cmask = np.zeros((B, max_channels), np.float32)
+    umask = np.zeros((B, max_uchannels), np.float32)
+    lengths = np.zeros((B,), np.int32)
+    mode = np.zeros((B, 2), np.float32)
+    bpm = np.zeros((B,), np.float32)
+    used = np.zeros((B, 41), np.float32)
+    any_unpitched = False
+    for i, song in enumerate(songs):
+        C = min(song.pitched.shape[0], max_channels)
+        R = min(song.pitched.shape[1], max_bars)
+        pitched[i, :C, :R] = song.pitched[:C, :R]
+        instf[i, :C] = song.instruments_features[:C]
+        cmask[i, :C] = 1.0
+        lengths[i] = R
+        if song.unpitched is not None and song.unpitched.sum() > 0:
+            Cu = min(song.unpitched.shape[0], max_uchannels)
+            unpitched[i, :Cu, :R] = song.unpitched[:Cu, :R]
+            umask[i, :Cu] = 1.0
+            any_unpitched = True
+        is_minor = song.info.scale.is_minor
+        mode[i] = [0.0, 1.0] if is_minor else [1.0, 0.0]
+        bpm[i] = song.info.bpm
+        used[i] = get_used_instruments(
+            song.instruments_features[None, :C],
+            song.unpitched is not None and song.unpitched.sum() > 0)[0]
+    return Batch(
+        mode=jnp.asarray(mode), bpm=jnp.asarray(bpm),
+        pitched=jnp.asarray(pitched), instruments_features=jnp.asarray(instf),
+        unpitched=jnp.asarray(unpitched) if any_unpitched else None,
+        used_instruments=jnp.asarray(used),
+        bar_lengths=jnp.asarray(lengths), channel_mask=jnp.asarray(cmask),
+        uchannel_mask=jnp.asarray(umask) if any_unpitched else None,
+    )

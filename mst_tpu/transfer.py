@@ -1,0 +1,283 @@
+"""Style transfer driver: compose one song's melody/rhythm with another's style.
+
+Parity target: style/style_transfer.py. The public surface keeps the
+reference's entry points and file layout:
+
+  transfer_style(model_bundle, composition_path, style_paths, output_path)
+    -> output_path/<name>/original/<name>.mid
+       output_path/<name>/<name> (reconstructed).mid
+       output_path/<name>/original/<style>.mid
+       output_path/<name>/<name> (<style> style).mid
+
+Differences by design: the model is a (flax module, params) bundle rather than
+a pickled torch object, decoding runs through the vectorized derasterizer, and
+``hard_output`` + appliers run jit-compiled. (The reference also calls an
+unimported ``shutil.rmtree`` swallowed by a bare except, style_transfer.py:31-34
+— behaviorally a no-op, so stale outputs are simply overwritten here.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mst_tpu.data.pipeline import Song, get_input, prepare_input
+from mst_tpu.data.taxonomy import (
+    INCLUDED_INSTRUMENTS, PERCUSSION_ID, category_instrument,
+    encode_instruments)
+from mst_tpu.io import create_midi, load_midi_from_file, native, smf
+from mst_tpu.io.midi import bpm2tempo
+from mst_tpu.models import StyleTransferModel
+from mst_tpu.ops.events import SongInfo, read_midi
+from mst_tpu.ops.losses import hard_output
+from mst_tpu.ops.rasterize import Rasterizer
+from mst_tpu.theory.scales import Scale
+
+
+# Shape buckets: channel/bar counts are padded up to these so jit compiles
+# amortize across songs (TPU-first; outputs at padded cells are masked or
+# sliced away, and the padding-equivalence of the masked model is tested).
+CHANNEL_BUCKETS = (8, 16, 32)
+BAR_BUCKETS = (128, 256, 512, 1024)
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return n
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    model: StyleTransferModel
+    params: dict
+    _jitted: dict = dataclasses.field(default_factory=dict)
+
+    def fn(self, key: str):
+        """Cached jitted model methods (compiled once per input shape)."""
+        if key not in self._jitted:
+            method = {
+                "extract": StyleTransferModel.extract_style,
+                "predict": StyleTransferModel.predict_song_info,
+                "apply": StyleTransferModel.apply_style,
+            }[key]
+            if key == "apply":
+                self._jitted[key] = jax.jit(
+                    lambda params, *a, unpitched: self.model.apply(
+                        params, *a, unpitched, method=method),
+                    static_argnames=("unpitched",))
+            else:
+                self._jitted[key] = jax.jit(
+                    lambda params, *a, **kw: self.model.apply(
+                        params, *a, method=method, **kw))
+        return self._jitted[key]
+
+
+def get_model_input(path) -> Optional[Tuple[str, Song]]:
+    """Parity: style_transfer.py:57-64."""
+    mid = load_midi_from_file(path)
+    if mid is None:
+        return None
+    channels, info = read_midi(mid)
+    allowed = set([-1, *INCLUDED_INSTRUMENTS])
+    channels = [c for c in channels if c["instrument_id"] in allowed]
+    song = get_input(channels, info)
+    song.path = str(path)
+    return str(path), song
+
+
+def extract_style(bundle: ModelBundle, song: Song):
+    """Parity: style_transfer.py:67-74 (max_n_bars = 1000 // n_channels).
+
+    Inputs are padded to (CHANNEL_BUCKETS, BAR_BUCKETS) with masks so the
+    jitted extractor compiles once per bucket; latents at valid cells are
+    identical to the unpadded forward. Returns (style, melody, rhythm,
+    real_bar_count)."""
+    max_n_bars = 1000 // song.n_channels
+    mode, bpm, pitched, instf, unpitched = prepare_input(song, max_n_bars)
+    B, C, R = pitched.shape[:3]
+    Cb = _bucket(C, CHANNEL_BUCKETS)
+    Rb = _bucket(R, BAR_BUCKETS)
+
+    p = np.zeros((B, Cb, Rb) + pitched.shape[3:], np.float32)
+    p[:, :C, :R] = pitched
+    instf_pad = np.zeros((B, Cb, instf.shape[-1]), np.float32)
+    instf_pad[:, :C] = instf
+    cmask = np.zeros((B, Cb), np.float32)
+    cmask[:, :C] = 1.0
+    lengths = np.full((B,), R, np.int32)
+    u = umask = None
+    if unpitched is not None:
+        u = np.zeros((B, unpitched.shape[1], Rb) + unpitched.shape[3:],
+                     np.float32)
+        u[:, :, :R] = unpitched
+        umask = np.ones((B, unpitched.shape[1]), np.float32)
+
+    style, melody, rhythm = bundle.fn("extract")(
+        bundle.params, jnp.asarray(mode), jnp.asarray(bpm), jnp.asarray(p),
+        jnp.asarray(instf_pad),
+        None if u is None else jnp.asarray(u),
+        bar_lengths=jnp.asarray(lengths), channel_mask=jnp.asarray(cmask),
+        uchannel_mask=None if umask is None else jnp.asarray(umask))
+    return style, melody, rhythm, R
+
+
+def _hard_output_np(x: np.ndarray) -> np.ndarray:
+    """Host-side hard_output (same semantics as ops.losses.hard_output,
+    parity model.py:818-832) — numpy, in-place on a copy, so decode never
+    round-trips the device."""
+    out = np.array(x, dtype=np.float32, copy=True)
+    v = out[..., 1]
+    v *= v > 0.01
+    if out.shape[-1] > 2:
+        acc = out[..., 2:]
+        hard = acc == acc.max(axis=-1, keepdims=True)
+        hard &= acc > 0.1
+        out[..., 2:] = hard
+    return out
+
+
+def _free_channels(n: int) -> List[int]:
+    """First n non-percussion MIDI channel ids (parity: style_transfer.py:78-80)."""
+    return [i for i in range(16) if i != 9][:n]
+
+
+def save_channels(rasterizer: Rasterizer, pitched_channels, unpitched_channels,
+                  instruments: Sequence[int], save_path: str) -> None:
+    """Decode dense channel tensors to a .mid file (parity:
+    style_transfer.py:77-98 + decode_midi :145-158, create_midi max_delta_time=1).
+
+    ``pitched_channels``: (C, bar, beat, frac, 56, 5) or batched (1, C, ...).
+    """
+    # float32 throughout: the reference decodes through torch float32 tensors
+    # (style_transfer.py:91-97), so float32 duration/velocity truncation is the
+    # parity behavior, and it halves host bandwidth
+    pitched = np.asarray(pitched_channels, dtype=np.float32)
+    if pitched.ndim == 7:
+        pitched = pitched[0]
+    unpitched = None
+    if unpitched_channels is not None:
+        unpitched = np.asarray(unpitched_channels, dtype=np.float32)
+        if unpitched.ndim == 7:
+            unpitched = unpitched[0]
+
+    # decode_midi always thresholds, including originals (style_transfer.py:147)
+    pitched = _hard_output_np(pitched)
+    if unpitched is not None:
+        unpitched = _hard_output_np(unpitched)
+
+    instruments_data = []
+    channel_ids = _free_channels(pitched.shape[0])
+    for idx, instrument_id in zip(range(pitched.shape[0]), instruments):
+        messages = rasterizer.messages_from_raster(pitched[idx], pitched=True)
+        instruments_data.append({
+            "channel_id": channel_ids[idx],
+            "instrument_id": int(instrument_id),
+            "messages": messages,
+        })
+    if unpitched is not None:
+        messages = rasterizer.messages_from_raster(unpitched[0], pitched=False)
+        instruments_data.append({
+            "channel_id": 9, "instrument_id": -1, "messages": messages,
+        })
+
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    mid = create_midi(rasterizer.info.as_create_midi_info(),
+                      *instruments_data, max_delta_time=1)
+    native.write_midi_file(save_path, mid)
+
+
+def apply_style(bundle: ModelBundle, info: SongInfo, style, melody, rhythm,
+                n_instruments: int, save_path: str,
+                n_bars: Optional[int] = None) -> None:
+    """Predict song info, pick top-k instruments, decode and save
+    (parity: style_transfer.py:101-131). ``n_bars``: real bar count when the
+    latents are bucket-padded (outputs beyond it are sliced off)."""
+    R = rhythm.shape[1] if n_bars is None else n_bars
+    lengths = jnp.full((style.shape[0],), R, jnp.int32)
+    instruments_pred, mode_pred, bpm_pred = bundle.fn("predict")(
+        bundle.params, style, rhythm, bar_lengths=lengths)
+    info.tempo = bpm2tempo(round(float(bpm_pred[0])))
+
+    logits = np.asarray(instruments_pred)[0]
+    picked = np.argsort(-logits)[:n_instruments]
+    # NOTE: the reference's "percussion-only -> take one more" special case
+    # (style_transfer.py:107-108) compares a scalar to a one-element list and
+    # is therefore always False; behavior (not intent) is preserved, so a
+    # percussion-only pick yields a percussion-only song.
+    unpitched = PERCUSSION_ID in picked
+    picked = [int(i) for i in picked if i != PERCUSSION_ID]
+    instruments = [category_instrument(i) for i in picked]
+
+    # predicted mode overwrites the scale mode (style_transfer.py:118-122)
+    is_minor = bool(np.asarray(mode_pred)[0].argmax() == 1)
+    info.scale = Scale(tonic=info.scale.tonic, is_minor=is_minor)
+
+    rasterizer = Rasterizer(info)
+    C = len(instruments)
+    Cb = _bucket(max(C, 1), CHANNEL_BUCKETS)
+    instf = np.zeros((1, Cb, 51), np.float32)
+    if C:
+        instf[0, :C] = encode_instruments(instruments)
+    pitched_pred, unpitched_pred = bundle.fn("apply")(
+        bundle.params, style, melody, rhythm, jnp.asarray(instf),
+        unpitched=bool(unpitched))
+    # slice away channel/bar padding on device, then fetch once
+    pitched_pred = np.asarray(pitched_pred[:, :C, :R])
+    if unpitched_pred is not None:
+        unpitched_pred = np.asarray(unpitched_pred[:, :, :R])
+    save_channels(rasterizer, pitched_pred, unpitched_pred, instruments,
+                  save_path)
+
+
+def combine_info(style_info: SongInfo, melody_info: SongInfo) -> SongInfo:
+    """Melody song's timing + style song's scale/tempo
+    (parity: style_transfer.py:134-142 — the combined info has no duration, so
+    decode falls back to last-message-time + one bar)."""
+    return dataclasses.replace(melody_info, tempo=style_info.tempo,
+                               scale=style_info.scale, duration=None)
+
+
+def transfer_style(bundle: ModelBundle, composition_path, style_paths,
+                   output_path) -> List[str]:
+    """Parity: style_transfer.py:22-54. Returns the written file paths."""
+    written = []
+    name = os.path.splitext(os.path.basename(str(composition_path)))[0]
+    _, comp = get_model_input(composition_path)
+    comp_rasterizer = Rasterizer(comp.info)
+    style_vec, melody, rhythm, n_bars = extract_style(bundle, comp)
+
+    out_dir = os.path.join(str(output_path), name)
+    original = os.path.join(out_dir, f"original/{name}.mid")
+    save_channels(comp_rasterizer, comp.pitched, comp.unpitched,
+                  comp.instruments, original)
+    written.append(original)
+
+    reconstructed = os.path.join(out_dir, f"{name} (reconstructed).mid")
+    apply_style(bundle, comp.info, style_vec, melody, rhythm,
+                len(comp.instruments), reconstructed, n_bars=n_bars)
+    written.append(reconstructed)
+
+    for style_path in style_paths:
+        style_name = os.path.splitext(os.path.basename(str(style_path)))[0]
+        _, style_song = get_model_input(style_path)
+        style_rasterizer = Rasterizer(style_song.info)
+        style_only, _, _, _ = extract_style(bundle, style_song)
+
+        path = os.path.join(out_dir, f"original/{style_name}.mid")
+        save_channels(style_rasterizer, style_song.pitched,
+                      style_song.unpitched, style_song.instruments, path)
+        written.append(path)
+
+        info = combine_info(style_info=style_song.info, melody_info=comp.info)
+        path = os.path.join(out_dir, f"{name} ({style_name} style).mid")
+        apply_style(bundle, info, style_only, melody, rhythm,
+                    len(style_song.instruments), path, n_bars=n_bars)
+        written.append(path)
+    return written

@@ -1,0 +1,113 @@
+"""Training step, scheduler/accumulation semantics, and mesh sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mst_tpu.config import Config, TrainConfig
+from mst_tpu.models import StyleTransferModel
+from mst_tpu.runtime.train import (
+    batch_from_song, create_train_state, make_lr_schedule, make_train_step)
+
+
+def _tiny_batch(B=1, C=1, R=3, T=4, seed=0):
+    import mst_tpu.runtime.train as tr
+    rng = np.random.default_rng(seed)
+    pitched = (rng.random((B, C, R, T, 10, 56, 5)) *
+               (rng.random((B, C, R, T, 10, 56, 1)) > 0.9)).astype(np.float32)
+    instf = np.zeros((B, C, 51), np.float32)
+    instf[:, 0, 0] = 1.0
+    used = np.zeros((B, 41), np.float32)
+    used[:, 0] = 1.0
+    return tr.Batch(
+        mode=jnp.asarray(np.tile([[1.0, 0.0]], (B, 1)).astype(np.float32)),
+        bpm=jnp.full((B,), 100.0), pitched=jnp.asarray(pitched),
+        instruments_features=jnp.asarray(instf), unpitched=None,
+        used_instruments=jnp.asarray(used),
+        bar_lengths=jnp.full((B,), R, jnp.int32),
+        channel_mask=jnp.ones((B, C), jnp.float32), uchannel_mask=None)
+
+
+def test_train_step_accumulation_and_apply():
+    """Params change only every iter_size micro-steps; grads are summed."""
+    config = Config()
+    model = StyleTransferModel(config=config.model)
+    batch = _tiny_batch()
+    state = create_train_state(model, config, batch, jax.random.PRNGKey(0))
+    step = make_train_step(model, config, has_unpitched=False)
+
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state1, losses1 = step(state, batch)
+    assert np.isfinite(float(losses1.total))
+    # iter_size=2: after one micro-step params are unchanged, grads accumulated
+    p1 = jax.tree_util.tree_leaves(state1.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    assert int(state1.opt_step) == 0
+    g1 = jax.tree_util.tree_leaves(state1.accum_grads)[0]
+    assert float(jnp.abs(g1).sum()) > 0
+
+    state2, losses2 = step(state1, batch)
+    p2 = jax.tree_util.tree_leaves(state2.params)[0]
+    assert not np.array_equal(np.asarray(p0), np.asarray(p2))
+    assert int(state2.opt_step) == 1
+    g2 = jax.tree_util.tree_leaves(state2.accum_grads)[0]
+    assert float(jnp.abs(g2).sum()) == 0  # reset after apply
+
+
+def test_lr_schedule_step_decay():
+    config = Config(train=TrainConfig(learning_rate=0.01, lr_decay_every=200,
+                                      lr_decay_gamma=0.9))
+    sched = make_lr_schedule(config)
+    assert np.isclose(float(sched(0)), 0.01)
+    assert np.isclose(float(sched(199)), 0.01)
+    assert np.isclose(float(sched(200)), 0.009)
+    assert np.isclose(float(sched(400)), 0.0081)
+
+
+def test_batch_from_song_on_example(example_midis):
+    from mst_tpu.io import load_midi_from_file
+    from mst_tpu.ops.events import read_midi
+    from mst_tpu.data.pipeline import get_input
+    path = [p for p in example_midis if "Angie" in p.name][0]
+    channels, info = read_midi(load_midi_from_file(path))
+    song = get_input(channels, info)
+    batch = batch_from_song(song, max_n_bars=8)
+    assert batch.pitched.shape[2] == 8
+    assert batch.pitched.shape[0] == 1
+    assert float(batch.bpm[0]) == info.bpm
+
+
+def test_dryrun_multichip_8():
+    """The full data-parallel train step compiles and runs on an 8-device
+    mesh (the driver's validation path)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as graft
+    graft.dryrun_multichip(8)
+
+
+def test_sharded_step_matches_single_device():
+    """DP-sharded training step == unsharded step on the same batch."""
+    from mst_tpu.parallel import create_mesh, replicate, shard_batch
+    config = Config()
+    model = StyleTransferModel(config=config.model)
+    batch = _tiny_batch(B=4)
+    state = create_train_state(model, config, batch, jax.random.PRNGKey(1))
+    step = make_train_step(model, config, has_unpitched=False)
+
+    # single-device result
+    s_single, losses_single = step(state, batch)
+
+    # sharded over 4 devices
+    mesh = create_mesh(n_data=4, devices=jax.devices()[:4])
+    state2 = create_train_state(model, config, batch, jax.random.PRNGKey(1))
+    state2 = replicate(state2, mesh)
+    sharded_batch = shard_batch(batch, mesh)
+    s_shard, losses_shard = step(state2, sharded_batch)
+
+    assert np.isclose(float(losses_single.total), float(losses_shard.total),
+                      rtol=1e-5)
+    a = jax.tree_util.tree_leaves(s_single.accum_grads)[0]
+    b = jax.tree_util.tree_leaves(s_shard.accum_grads)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-6)

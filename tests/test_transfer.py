@@ -1,0 +1,93 @@
+"""End-to-end style transfer driver on bundled songs (untrained model)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mst_tpu.models import StyleTransferModel
+from mst_tpu.transfer import (
+    ModelBundle, apply_style, combine_info, extract_style, get_model_input,
+    transfer_style)
+from mst_tpu.io import load_midi_from_file
+from mst_tpu.ops.events import read_midi
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    model = StyleTransferModel()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.array([[1.0, 0.0]]), jnp.array([120.0]),
+        jnp.zeros((1, 1, 4, 4, 10, 56, 5)),
+        jnp.zeros((1, 1, 51)).at[0, 0, 0].set(1.0),
+        jnp.zeros((1, 1, 4, 4, 10, 47, 2)))
+    # sparsify so outputs decode quickly (see bench.py rationale)
+    params = dict(params)
+    for name in ("pitched_style_applier", "unpitched_style_applier"):
+        layer = params["params"][name]["linear"]
+        layer["bias"] = layer["bias"].at[1].set(-5.0)
+    return ModelBundle(model=model, params=params)
+
+
+def _example(name, example_midis):
+    return [p for p in example_midis if p.name == name][0]
+
+
+def test_transfer_style_end_to_end(bundle, example_midis, tmp_path):
+    comp = _example("Sweet Dreams.mid", example_midis)
+    style = _example("Angie.4.mid", example_midis)
+    written = transfer_style(bundle, comp, [style], tmp_path)
+    assert len(written) == 4
+    names = [os.path.relpath(w, tmp_path) for w in written]
+    assert names == [
+        "Sweet Dreams/original/Sweet Dreams.mid",
+        "Sweet Dreams/Sweet Dreams (reconstructed).mid",
+        "Sweet Dreams/original/Angie.4.mid",
+        "Sweet Dreams/Sweet Dreams (Angie.4 style).mid",
+    ]
+    from mst_tpu.exceptions import MidiFormatError
+    for w in written:
+        data = load_midi_from_file(w)
+        assert data is not None, w
+        try:
+            channels, info = read_midi(data)
+            assert info.tempo > 0
+        except MidiFormatError:
+            # a sparsified untrained model may emit a silent styled song —
+            # the file itself is still structurally valid
+            assert "original" not in w
+
+
+def test_extract_style_bucket_invariance(bundle, example_midis):
+    """Latents are identical whichever bar bucket the song pads into."""
+    import mst_tpu.transfer as tr
+    comp = _example("Angie.4.mid", example_midis)
+    _, song = get_model_input(comp)
+    s1, m1, r1, R = extract_style(bundle, song)
+    old = tr.BAR_BUCKETS
+    tr.BAR_BUCKETS = (256, 512)  # force the next bucket up
+    try:
+        s2, m2, r2, R2 = extract_style(bundle, song)
+    finally:
+        tr.BAR_BUCKETS = old
+    assert R == R2
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2[:, :m1.shape[1]]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_original_save_roundtrip_stable(bundle, example_midis, tmp_path):
+    """Saving the ingested original and re-ingesting keeps raster onsets."""
+    from mst_tpu.transfer import save_channels
+    from mst_tpu.ops.rasterize import Rasterizer
+    from mst_tpu.data.pipeline import get_input
+    comp = _example("Welcome to the Jungle.2 (300 it).mid", example_midis)
+    _, song = get_model_input(comp)
+    out = str(tmp_path / "orig.mid")
+    save_channels(Rasterizer(song.info), song.pitched, song.unpitched,
+                  song.instruments, out)
+    channels, info = read_midi(load_midi_from_file(out))
+    assert any(c["channel_id"] == 9 for c in channels)  # drums preserved
