@@ -52,13 +52,18 @@ def main():
     from mst_tpu.transfer import ModelBundle
 
     model = StyleTransferModel()
-    params = model.init(
-        jax.random.PRNGKey(0), jnp.array([[1.0, 0.0]]), jnp.array([120.0]),
-        jnp.zeros((1, 1, 4, 4, 10, 56, 5)),
-        jnp.zeros((1, 1, 51)).at[0, 0, 0].set(1.0),
-        jnp.zeros((1, 1, 4, 4, 10, 47, 2)))
-    params = dict(params)
-    params = sparsify_velocity_bias(params)
+    # initialize on the host CPU backend: un-jitted init dispatches hundreds
+    # of tiny ops, which is pathological over a remote-TPU transport (~3 min);
+    # on CPU it is ~1 s and the params transfer once.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.array([[1.0, 0.0]]),
+            jnp.array([120.0]), jnp.zeros((1, 1, 4, 4, 10, 56, 5)),
+            jnp.zeros((1, 1, 51)).at[0, 0, 0].set(1.0),
+            jnp.zeros((1, 1, 4, 4, 10, 47, 2)))
+        params = sparsify_velocity_bias(dict(params))
+    params = jax.device_put(params, jax.devices()[0])
     bundle = ModelBundle(model=model, params=params)
 
     # warmup: pays all jit compiles for this song's shapes

@@ -1,0 +1,56 @@
+"""Offline corpus-analysis helpers (parity: style/midi_conversion.py:327-346
+get_notes_dist / get_keys_dist + style/data.py:117-119 keys_dists2df).
+
+SoA equivalents: duration*velocity mass per note / per key, in seconds, with
+instrument metadata — used to eyeball corpora and to feed
+mst_tpu.utils.data.list2df tables like the reference's notebooks did.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from mst_tpu.io.midi import tick2second
+from mst_tpu.ops.events import NoteArray, SongInfo
+from mst_tpu.theory import KEY_NAMES
+
+
+def notes_dist(info: SongInfo, notes: NoteArray, instrument_name: str = "",
+               instrument_id: int = 0) -> Dict:
+    """Per (key name, octave) seconds of duration*velocity mass
+    (parity: get_notes_dist, midi_conversion.py:327-337)."""
+    out: Dict = {}
+    weights = notes.duration.astype(np.float64) * notes.velocity
+    seconds = tick2second(weights, info.ticks_per_beat, info.tempo)
+    octave = notes.note_id // 12 - 1
+    key_idx = notes.note_id % 12
+    for i in range(len(notes)):
+        k = (KEY_NAMES[int(key_idx[i])], int(octave[i]))
+        out[k] = out.get(k, 0.0) + float(seconds[i])
+    out["instrument"] = instrument_name
+    out["instrument_id"] = instrument_id
+    return out
+
+
+def keys_dist(info: SongInfo, notes: NoteArray,
+              instrument_name: str = "") -> Dict:
+    """Per key-name seconds of duration*velocity mass
+    (parity: get_keys_dist, midi_conversion.py:340-346)."""
+    weights = notes.duration.astype(np.float64) * notes.velocity
+    seconds = tick2second(weights, info.ticks_per_beat, info.tempo)
+    mass = np.zeros(12)
+    np.add.at(mass, notes.note_id % 12, seconds)
+    out: Dict = {KEY_NAMES[i]: float(mass[i]) for i in range(12) if mass[i]}
+    out["instrument"] = instrument_name
+    return out
+
+
+def keys_dist_vector(notes: NoteArray) -> np.ndarray:
+    """(12,) un-normalized key-mass vector (the detection-path aggregate,
+    style/data.py:79-84 without the constant seconds factor)."""
+    mass = np.zeros(12)
+    np.add.at(mass, notes.note_id % 12,
+              notes.duration.astype(np.float64) * notes.velocity)
+    return mass

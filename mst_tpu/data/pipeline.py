@@ -29,13 +29,20 @@ from mst_tpu.theory import detect_scale, keys_dist_from_notes
 
 @dataclasses.dataclass
 class Song:
-    """One assembled song (parity: get_input's return tuple, style/data.py:100)."""
+    """One assembled song (parity: get_input's return tuple, style/data.py:100).
+
+    Also retains the SoA note arrays so the device-side rasterizer can ship
+    notes (KBs) instead of the dense raster (tens of MB) — see
+    mst_tpu.ops.device_raster.
+    """
 
     info: SongInfo
     pitched: np.ndarray                    # (C, bar, beat, frac, 56, 5) float32
     instruments_features: np.ndarray       # (C, 51) float32
     instruments: List[int]                 # pitched instrument program ids
     unpitched: Optional[np.ndarray]        # (Cu, bar, beat, frac, 47, 2) or None
+    pitched_notes: Optional[List[NoteArray]] = None
+    unpitched_notes: Optional[List[NoteArray]] = None
     path: Optional[str] = None
 
     @property
@@ -123,20 +130,24 @@ def get_input(channels: List[dict], info: SongInfo) -> Song:
     info.scale = detect_scale(keys_dist)
 
     rasterizer = Rasterizer(info)
-    pitched = np.stack([
-        rasterizer.rasterize(n, pitched=True) for _, n in pitched_channels
-    ]).astype(np.float32)
+    pitched = np.zeros((len(pitched_channels),)
+                       + rasterizer.raster_shape(True), np.float32)
+    for c, (_, n) in enumerate(pitched_channels):
+        rasterizer.rasterize(n, pitched=True, out=pitched[c])
     unpitched = None
     if unpitched_channels:
-        unpitched = np.stack([
-            rasterizer.rasterize(n, pitched=False) for _, n in unpitched_channels
-        ]).astype(np.float32)
+        unpitched = np.zeros((len(unpitched_channels),)
+                             + rasterizer.raster_shape(False), np.float32)
+        for c, (_, n) in enumerate(unpitched_channels):
+            rasterizer.rasterize(n, pitched=False, out=unpitched[c])
 
     instruments = [i for i, _ in pitched_channels]
     instruments_features = encode_instruments(instruments).astype(np.float32)
     return Song(info=info, pitched=pitched,
                 instruments_features=instruments_features,
-                instruments=instruments, unpitched=unpitched)
+                instruments=instruments, unpitched=unpitched,
+                pitched_notes=[n for _, n in pitched_channels],
+                unpitched_notes=[n for _, n in unpitched_channels])
 
 
 def prepare_input(song: Song, max_n_bars: Optional[int] = None):

@@ -123,6 +123,17 @@ def second2tick(second, ticks_per_beat: int, tempo: int):
     return second / (tempo * 1e-6 / ticks_per_beat)
 
 
+def play_midi(midi_data: "MidiFileData", out_path: str = "/tmp/play.wav",
+              sample_rate: int = 22050) -> str:
+    """Render a parsed MIDI file to a playable WAV (capability parity with
+    style/midi.py:111-117's rtmidi live playback — a TPU pod has no MIDI
+    ports, so "playback" is native synthesis to a file). Returns the path."""
+    from mst_tpu.audio import render_midi, write_wav
+    pcm = render_midi(midi_data, sample_rate=sample_rate)
+    write_wav(out_path, pcm, sample_rate)
+    return out_path
+
+
 def load_midi_from_file(path) -> Optional[MidiFileData]:
     """Defensive load: None on any malformed file (parity: style/midi.py:104-108).
     Uses the native C++ codec when built (byte-equivalent, ~40x faster)."""

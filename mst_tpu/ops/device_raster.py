@@ -1,0 +1,190 @@
+"""On-device rasterization: SoA note coords -> dense piano-roll, on the chip.
+
+The north-star data path (BASELINE.json): the host parses/quantizes MIDI
+(exact float64 grid math, mst_tpu.ops.quantize) and ships only the quantized
+note records — (cell row, note index, accidental, duration, velocity), a few
+hundred KB — while the dense (channel, bar, beat, fraction, note, feature)
+tensor is materialized **on device**. This removes the dominant host->HBM
+transfer (a full song's padded raster is ~46 MB; its notes are ~100 KB).
+
+Two implementations with identical semantics (scatter-max, zero base):
+
+- :func:`segment_rasterize` — pure jnp via ``.at[].max`` scatter; jit/vmap
+  friendly; the default and the correctness reference.
+- :func:`pallas_rasterize` — a Pallas TPU kernel (mst_tpu.ops.pallas_raster)
+  that keeps a row-chunk of the raster in VMEM and applies each note as a
+  full-lane vector max; notes are pre-sorted by row so each grid program
+  touches only its chunk's notes (scalar-prefetched boundaries).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mst_tpu.ops.rasterize import QNotes, Rasterizer
+
+
+@dataclasses.dataclass
+class DeviceNotes:
+    """Host-prepared note records for device rasterization (all (N,) arrays,
+    padded to a static length with ``valid``)."""
+
+    row: np.ndarray       # int32, flattened (channel, bar, beat, frac) cell
+    note_idx: np.ndarray  # int32, raster note row (0..n_notes)
+    acc: np.ndarray       # int32, accidental code (pitched) or 0
+    duration: np.ndarray  # float32, beats
+    velocity: np.ndarray  # float32
+    valid: np.ndarray     # bool
+
+    def __len__(self):
+        return self.row.shape[0]
+
+
+def _pad_to(n: int, buckets=(512, 2048, 8192, 32768, 131072)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return n
+
+
+def encode_notes(rasterizer: Rasterizer, q: QNotes, channel_index: int,
+                 pitched: bool, n_channels: int, n_bars: int,
+                 valid_bars: Optional[int] = None,
+                 sort: bool = True) -> DeviceNotes:
+    """QNotes (one channel) -> flattened device records.
+
+    Cell row = ((c * n_bars + bar) * n_beats + beat) * n_fractions + frac.
+    ``n_bars`` is the (possibly padded) raster layout; ``valid_bars`` caps the
+    bars actually written (the reference's prepare_input truncation,
+    style/data.py:136-143). Out-of-range notes (the reference's ValueError
+    skip, midi_conversion.py:495-498) are marked invalid.
+    """
+    T = rasterizer.info.n_beats
+    F10 = rasterizer.grid.n_fractions
+    n_notes = rasterizer.n_notes(pitched)
+    valid = (q.note_idx >= 0) & (q.note_idx < n_notes)
+    valid &= (q.bar >= 0) & (q.bar < min(n_bars, valid_bars if valid_bars
+                                         is not None else n_bars))
+    row = ((channel_index * n_bars + q.bar) * T + q.beat) * F10 + q.frac_idx
+    # invalid notes get a sentinel row: they sort to the end and fall outside
+    # every Pallas row-chunk range
+    row = np.where(valid, row, 2 ** 30)
+    duration = (q.duration / rasterizer.info.ticks_per_beat).astype(np.float32)
+    out = DeviceNotes(
+        row=row.astype(np.int32), note_idx=q.note_idx.astype(np.int32),
+        acc=q.acc.astype(np.int32), duration=duration,
+        velocity=q.velocity.astype(np.float32), valid=np.asarray(valid))
+    if sort:
+        order = np.argsort(out.row, kind="stable")
+        out = DeviceNotes(*(a[order] for a in
+                            (out.row, out.note_idx, out.acc, out.duration,
+                             out.velocity, out.valid)))
+    return out
+
+
+def concat_and_pad(parts, pad_len: Optional[int] = None) -> DeviceNotes:
+    """Concatenate per-channel DeviceNotes and pad to a bucketed static length."""
+    row = np.concatenate([p.row for p in parts]) if parts else np.zeros(0, np.int32)
+    note = np.concatenate([p.note_idx for p in parts]) if parts else row
+    acc = np.concatenate([p.acc for p in parts]) if parts else row
+    dur = np.concatenate([p.duration for p in parts]) if parts else \
+        np.zeros(0, np.float32)
+    vel = np.concatenate([p.velocity for p in parts]) if parts else dur
+    valid = np.concatenate([p.valid for p in parts]) if parts else \
+        np.zeros(0, bool)
+    order = np.argsort(row, kind="stable")
+    row, note, acc, dur, vel, valid = (a[order] for a in
+                                       (row, note, acc, dur, vel, valid))
+    n = _pad_to(len(row)) if pad_len is None else pad_len
+    pad = n - len(row)
+    if pad < 0:
+        raise ValueError("pad_len smaller than note count")
+    return DeviceNotes(
+        row=np.pad(row, (0, pad), constant_values=2 ** 30).astype(np.int32),
+        note_idx=np.pad(note, (0, pad)).astype(np.int32),
+        acc=np.pad(acc, (0, pad)).astype(np.int32),
+        duration=np.pad(dur, (0, pad)).astype(np.float32),
+        velocity=np.pad(vel, (0, pad)).astype(np.float32),
+        valid=np.pad(valid, (0, pad)),
+    )
+
+
+def segment_rasterize(row, note_idx, acc, duration, velocity, valid,
+                      n_rows: int, n_notes: int, n_feat: int):
+    """jnp scatter-max rasterization -> (n_rows, n_notes * n_feat) float32.
+
+    Semantics identical to the host Rasterizer.rasterize scatter
+    (midi_conversion.py:490-516): zero base, elementwise max on collision,
+    accidental one-hot for pitched (n_feat == 5)."""
+    lane0 = note_idx * n_feat
+    neg = jnp.float32(-jnp.inf)
+    vmask = valid
+
+    def scatter(col, val):
+        val = jnp.where(vmask, val, neg)
+        col = jnp.where(vmask, col, 0)
+        r = jnp.where(vmask, row, 0)
+        return (r, col), val
+
+    out = jnp.zeros((n_rows, n_notes * n_feat), jnp.float32)
+    (r, c), v = scatter(lane0, duration)
+    out = out.at[r, c].max(v)
+    (r, c), v = scatter(lane0 + 1, velocity)
+    out = out.at[r, c].max(v)
+    if n_feat == 5:
+        (r, c), v = scatter(lane0 + 2 + acc, jnp.ones_like(duration))
+        out = out.at[r, c].max(v)
+    return out
+
+
+def device_rasterize_song(rasterizer: Rasterizer, note_arrays, pitched: bool,
+                          n_channels: int, n_bars: Optional[int] = None,
+                          valid_bars: Optional[int] = None,
+                          use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """Full device-side rasterization of a song's channels.
+
+    ``note_arrays``: list of (channel NoteArray) pairs already merged per
+    instrument. Returns a device array (C, n_bars, T, F10, n_notes, F).
+    ``n_bars`` defaults to the rasterizer's n_bars+1 (the quantization spill
+    bar, parity midi_conversion.py:492-493).
+    """
+    T = rasterizer.info.n_beats
+    F10 = rasterizer.grid.n_fractions
+    n_notes = rasterizer.n_notes(pitched)
+    n_feat = rasterizer.n_features(pitched)
+    if n_bars is None:
+        n_bars = rasterizer.n_bars + 1
+    parts = []
+    for c, notes in enumerate(note_arrays):
+        q = rasterizer.quantize(notes, pitched)
+        parts.append(encode_notes(rasterizer, q, c, pitched, n_channels,
+                                  n_bars, valid_bars))
+    dn = concat_and_pad(parts)
+    n_rows = n_channels * n_bars * T * F10
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from mst_tpu.ops.pallas_raster import pallas_rasterize
+        flat = pallas_rasterize(dn, n_rows, n_notes, n_feat)
+    else:
+        flat = _jit_segment(dn.row, dn.note_idx, dn.acc, dn.duration,
+                            dn.velocity, dn.valid, n_rows, n_notes, n_feat)
+    return flat.reshape(n_channels, n_bars, T, F10, n_notes, n_feat)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _jit_segment(row, note_idx, acc, duration, velocity, valid,
+                 n_rows, n_notes, n_feat):
+    return segment_rasterize(
+        jnp.asarray(row), jnp.asarray(note_idx), jnp.asarray(acc),
+        jnp.asarray(duration), jnp.asarray(velocity), jnp.asarray(valid),
+        n_rows, n_notes, n_feat)

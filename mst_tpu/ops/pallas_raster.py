@@ -1,0 +1,127 @@
+"""Pallas TPU kernel: scatter-max rasterization of note records.
+
+The dense piano-roll lives in HBM as (rows, lanes) = (channel*bar*beat*frac,
+note*feature padded to 128); the kernel processes one CHUNK of rows per grid
+program with that chunk resident in VMEM, applying each note as a single
+full-lane vector max (VPU-friendly — no per-element scatter):
+
+    vec = where(lane == lane0,     duration,
+          where(lane == lane0 + 1, velocity,
+          where(lane == acc_lane,  1.0, -inf)))
+    out[row] = max(out[row], vec)
+
+Notes arrive sorted by row; per-chunk note ranges are scalar-prefetched so a
+program only loops over its own notes (PrefetchScalarGridSpec). Padding/invalid
+notes carry a sentinel row beyond every chunk and are never touched.
+
+Collision semantics are identical to the host scatter
+(midi_conversion.py:490-516) and to ops.device_raster.segment_rasterize, which
+is the cross-checked reference implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_CHUNK = 512
+SENTINEL_ROW = 2 ** 30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(bounds_ref, rows_ref, lane0_ref, accl_ref, dur_ref, vel_ref,
+            out_ref):
+    j = pl.program_id(0)
+    out_ref[:] = jnp.zeros_like(out_ref)
+    start = bounds_ref[j]
+    end = bounds_ref[j + 1]
+    lanes = out_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    base = j * ROW_CHUNK
+    neg = jnp.float32(-jnp.inf)
+
+    def body(i, _):
+        row = rows_ref[i, 0] - base
+        l0 = lane0_ref[i, 0]
+        la = accl_ref[i, 0]
+        d = dur_ref[i, 0]
+        v = vel_ref[i, 0]
+        vec = jnp.where(lane == l0, d,
+                        jnp.where(lane == l0 + 1, v,
+                                  jnp.where(lane == la, 1.0, neg)))
+        cur = out_ref[pl.ds(row, 1), :]
+        out_ref[pl.ds(row, 1), :] = jnp.maximum(cur, vec)
+        return 0
+
+    jax.lax.fori_loop(start, end, body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_rows", "n_notes", "n_feat",
+                                    "interpret"))
+def _pallas_call(bounds, rows, lane0, acc_lane, duration, velocity,
+                 n_rows: int, n_notes: int, n_feat: int,
+                 interpret: bool = False):
+    lanes = _round_up(n_notes * n_feat, 128)
+    padded_rows = _round_up(max(n_rows, 1), ROW_CHUNK)
+    n_chunks = padded_rows // ROW_CHUNK
+    n = rows.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((n, 1), lambda j, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda j, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda j, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda j, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda j, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROW_CHUNK, lanes), lambda j, b: (j, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((padded_rows, lanes), jnp.float32),
+        interpret=interpret,
+    )(bounds, rows.reshape(-1, 1), lane0.reshape(-1, 1),
+      acc_lane.reshape(-1, 1), duration.reshape(-1, 1),
+      velocity.reshape(-1, 1))
+    return out[:n_rows, :n_notes * n_feat]
+
+
+def pallas_rasterize(device_notes, n_rows: int, n_notes: int, n_feat: int,
+                     interpret: bool = None) -> jnp.ndarray:
+    """DeviceNotes (sorted by row, sentinel-rowed padding) -> (n_rows,
+    n_notes*n_feat) float32 raster."""
+    dn = device_notes
+    rows = np.where(dn.valid, dn.row, SENTINEL_ROW).astype(np.int32)
+    lane0 = (dn.note_idx * n_feat).astype(np.int32)
+    if n_feat == 5:
+        acc_lane = (lane0 + 2 + dn.acc).astype(np.int32)
+    else:
+        acc_lane = np.full_like(lane0, -1)
+    padded_rows = _round_up(max(n_rows, 1), ROW_CHUNK)
+    edges = np.arange(0, padded_rows + 1, ROW_CHUNK)
+    bounds = np.searchsorted(rows, edges, side="left").astype(np.int32)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _pallas_call(
+        jnp.asarray(bounds), jnp.asarray(rows), jnp.asarray(lane0),
+        jnp.asarray(acc_lane), jnp.asarray(dn.duration),
+        jnp.asarray(dn.velocity), n_rows=n_rows, n_notes=n_notes,
+        n_feat=n_feat, interpret=bool(interpret))

@@ -110,13 +110,22 @@ class Rasterizer:
                       velocity=notes.velocity.astype(np.float64),
                       acc=acc.astype(np.int32))
 
-    def rasterize(self, notes: NoteArray, pitched: bool) -> np.ndarray:
+    def rasterize(self, notes: NoteArray, pitched: bool,
+                  out: Optional[np.ndarray] = None,
+                  dtype=np.float64) -> np.ndarray:
         """Dense (n_bars+1, n_beats, n_fractions, n_notes, n_features) tensor
         (parity: qchannel2vchannel, midi_conversion.py:490-516; out-of-range
-        note rows are dropped like the reference's ValueError skip :495-498)."""
+        note rows are dropped like the reference's ValueError skip :495-498).
+
+        ``out``: optional preallocated zeroed target (e.g. a channel slice of a
+        song tensor) to scatter into directly. A float32 target is bit-equal to
+        computing in float64 and casting (the scatter writes/maxes the same
+        values)."""
         q = self.quantize(notes, pitched)
         shape = self.raster_shape(pitched)
-        out = np.zeros(shape, dtype=np.float64)
+        if out is None:
+            out = np.zeros(shape, dtype=dtype)
+        assert out.shape == shape, (out.shape, shape)
         valid = (q.note_idx >= 0) & (q.note_idx < self.n_notes(pitched))
         valid &= (q.bar >= 0) & (q.bar < shape[0])
         if not valid.any():
@@ -158,6 +167,21 @@ class Rasterizer:
                       duration=duration,
                       velocity=cells[..., F_VELOCITY],
                       acc=acc.astype(np.int32))
+
+    def derasterize_packed(self, dur_ticks: np.ndarray, vel_byte: np.ndarray,
+                           acc: np.ndarray, pitched: bool) -> QNotes:
+        """Packed device output (uint16 ticks, uint8 velocity-byte, uint8 acc
+        code per cell, one channel) -> quantized notes. Bit-identical to
+        derasterize() on the float tensor the packing came from: vel_byte is
+        int(v*127) (exactly what create_midi writes) and dur_ticks is the
+        int(d*tpb) truncation (midi_conversion.py:558)."""
+        bar, beat, frac, nidx = np.nonzero(vel_byte)
+        return QNotes(
+            bar=bar.astype(np.int64), beat=beat.astype(np.int64),
+            frac_idx=frac.astype(np.int32), note_idx=nidx.astype(np.int32),
+            duration=dur_ticks[bar, beat, frac, nidx].astype(np.int64),
+            velocity=vel_byte[bar, beat, frac, nidx].astype(np.float64) / 127.0,
+            acc=acc[bar, beat, frac, nidx].astype(np.int32))
 
     def qnotes_to_messages(self, q: QNotes, pitched: bool) -> NoteStream:
         """Quantized notes -> interleaved on/off message stream, stably sorted

@@ -226,6 +226,78 @@ def relative_degree(interval: int, source: Mode, target: Mode) -> float:
     return target.degree_of(interval + rel_interval)
 
 
+# --- chord naming (parity: style/scales.py:10-24, 75-83)
+
+INTERVALS_TO_CHORD = {
+    (0, 4, 7): "M",
+    (0, 3, 7): "m",
+    (0, 3, 6): "dim",
+    (0, 4, 6): "♭5",
+    (0, 4, 8): "aug",
+    (0, 2, 6): "♭5/3",
+}
+
+
+def chord_name(chord) -> str:
+    name = INTERVALS_TO_CHORD.get(tuple(chord))
+    if name is None:
+        raise ValueError(f"Unknown chord: {chord}")
+    return name
+
+
+def mode_chord(mode: Mode, degree0: int) -> str:
+    """Triad quality on a scale degree (0-based) of a mode."""
+    tonic = mode.tonic_intervals
+    intervals = [tonic[(degree0 + j) % 7] + 12 * ((degree0 + j) // 7)
+                 for j in (0, 2, 4)]
+    root = intervals[0]
+    return chord_name([(i - root) % 12 for i in intervals])
+
+
+def mode_chords(mode: Mode):
+    """All seven diatonic triads of a mode (parity: Mode.chords)."""
+    return [mode_chord(mode, d) for d in range(7)]
+
+
+def score_all_modes(keys_dist, modes=None, degrees=None):
+    """Generic scorer over all 7 diatonic modes x 12 tonics (parity:
+    style/scales.py:127-157 get_all_modes — present but unused by detection in
+    the reference; loss = cross_entropy * (2 - coverage)). Returns a list of
+    dicts ordered (tonic, mode).
+
+    NOTE: the reference calls ``normalize_dist`` discarding its return value
+    (scales.py:132,136,145 — no-ops on the local arrays); since this scorer is
+    dead code there, the distributions are properly normalized here."""
+    modes = modes or ALL_MODES
+    degrees = [d - 1 for d in (degrees or range(1, 8))]
+    keys_dist = _normalize_dist(np.asarray(keys_dist, dtype=np.float64))
+    target = (MAJOR_PROFILE + MINOR_PROFILE) / 2  # target_mode_dist :117
+    target_sel = target[degrees]
+    target_sel = target_sel / target_sel.sum()
+
+    results = []
+    for tonic in range(12):
+        for mode in modes:
+            intervals = (np.asarray(mode.absolute_intervals) + tonic) % 12
+            sample = keys_dist[intervals]
+            coverage = sample.sum()
+            sample_sel = sample[degrees]
+            total = sample_sel.sum()
+            sample_sel = (sample_sel / total if total > 0
+                          else np.full_like(sample_sel,
+                                            1.0 / len(sample_sel)))
+            ce = -(target_sel * np.log(np.clip(sample_sel, _CE_EPS, 1.0))
+                   ).sum() / len(sample_sel)
+            results.append({
+                "tonic": KEY_NAMES[tonic],
+                "mode": mode,
+                "coverage": float(coverage),
+                "cross_entropy": float(ce),
+                "loss": float(ce * (2.0 - coverage)),
+            })
+    return results
+
+
 def keys_dist_from_notes(key_indices, weights, xp=np):
     """Aggregate a (12,) key-mass distribution from note key indices and weights
     (duration*velocity). SoA replacement for style/midi_conversion.py:340-346 +

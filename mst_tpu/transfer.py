@@ -39,6 +39,33 @@ from mst_tpu.ops.rasterize import Rasterizer
 from mst_tpu.theory.scales import Scale
 
 
+def _pack_output(x, ticks_per_beat):
+    """Device-side hard_output + lossless wire packing (4 bytes/cell).
+
+    The decoded .mid only ever contains int velocities (int(v*127),
+    style/midi.py:147) and int tick durations (int(d*tpb),
+    midi_conversion.py:558); computing those on device and shipping
+    (uint16 ticks, uint8 velocity, uint8 accidental) is bit-identical to
+    shipping the float tensor and converting on host — at 1/5 the bytes.
+    """
+    duration = x[..., 0]
+    velocity = x[..., 1]
+    velocity = velocity * (velocity > 0.01)
+    vel_byte = (velocity * 127.0).astype(jnp.uint8)
+    dur_ticks = jnp.clip((duration * ticks_per_beat).astype(jnp.int32),
+                         0, 65535).astype(jnp.uint16)
+    if x.shape[-1] > 2:
+        acc = x[..., 2:]
+        is_max = acc == acc.max(axis=-1, keepdims=True)
+        hard = is_max & (acc > 0.1)
+        flat, natural, sharp = hard[..., 0], hard[..., 1], hard[..., 2]
+        code = jnp.where(flat, 0, jnp.where(natural, 1,
+                                            jnp.where(sharp, 2, 1)))
+    else:
+        code = jnp.zeros_like(vel_byte, dtype=jnp.int32)
+    return dur_ticks, vel_byte, code.astype(jnp.uint8)
+
+
 # Shape buckets: channel/bar counts are padded up to these so jit compiles
 # amortize across songs (TPU-first; outputs at padded cells are masked or
 # sliced away, and the padding-equivalence of the masked model is tested).
@@ -62,17 +89,22 @@ class ModelBundle:
     def fn(self, key: str):
         """Cached jitted model methods (compiled once per input shape)."""
         if key not in self._jitted:
-            method = {
-                "extract": StyleTransferModel.extract_style,
-                "predict": StyleTransferModel.predict_song_info,
-                "apply": StyleTransferModel.apply_style,
-            }[key]
             if key == "apply":
-                self._jitted[key] = jax.jit(
-                    lambda params, *a, unpitched: self.model.apply(
-                        params, *a, unpitched, method=method),
-                    static_argnames=("unpitched",))
+                def apply_packed(params, style, melody, rhythm, instf,
+                                 tpb, *, unpitched):
+                    x_p, x_u = self.model.apply(
+                        params, style, melody, rhythm, instf, unpitched,
+                        method=StyleTransferModel.apply_style)
+                    packed_p = _pack_output(x_p, tpb)
+                    packed_u = _pack_output(x_u, tpb) if unpitched else None
+                    return packed_p, packed_u
+                self._jitted[key] = jax.jit(apply_packed,
+                                            static_argnames=("unpitched",))
             else:
+                method = {
+                    "extract": StyleTransferModel.extract_style,
+                    "predict": StyleTransferModel.predict_song_info,
+                }[key]
                 self._jitted[key] = jax.jit(
                     lambda params, *a, **kw: self.model.apply(
                         params, *a, method=method, **kw))
@@ -95,37 +127,50 @@ def get_model_input(path) -> Optional[Tuple[str, Song]]:
 def extract_style(bundle: ModelBundle, song: Song):
     """Parity: style_transfer.py:67-74 (max_n_bars = 1000 // n_channels).
 
-    Inputs are padded to (CHANNEL_BUCKETS, BAR_BUCKETS) with masks so the
-    jitted extractor compiles once per bucket; latents at valid cells are
-    identical to the unpadded forward. Returns (style, melody, rhythm,
-    real_bar_count)."""
+    TPU-first data path: only the SoA note records travel to the device; the
+    dense bucket-padded raster is materialized on-chip by the Pallas
+    scatter-max kernel (mst_tpu.ops.device_raster), then fed straight to the
+    jitted extractor (compiled once per bucket). Latents at valid cells are
+    identical to the reference's unpadded forward (tested). Returns
+    (style, melody, rhythm, real_bar_count)."""
+    from mst_tpu.ops.device_raster import device_rasterize_song
+
     max_n_bars = 1000 // song.n_channels
-    mode, bpm, pitched, instf, unpitched = prepare_input(song, max_n_bars)
-    B, C, R = pitched.shape[:3]
+    C = song.pitched.shape[0]
+    R = min(song.pitched.shape[1], max_n_bars)
     Cb = _bucket(C, CHANNEL_BUCKETS)
     Rb = _bucket(R, BAR_BUCKETS)
+    rasterizer = Rasterizer(song.info)
 
-    p = np.zeros((B, Cb, Rb) + pitched.shape[3:], np.float32)
-    p[:, :C, :R] = pitched
-    instf_pad = np.zeros((B, Cb, instf.shape[-1]), np.float32)
-    instf_pad[:, :C] = instf
-    cmask = np.zeros((B, Cb), np.float32)
-    cmask[:, :C] = 1.0
-    lengths = np.full((B,), R, np.int32)
+    p = device_rasterize_song(rasterizer, song.pitched_notes, True,
+                              n_channels=Cb, n_bars=Rb, valid_bars=R)[None]
+    instf_pad = np.zeros((1, Cb, song.instruments_features.shape[-1]),
+                         np.float32)
+    instf_pad[0, :C] = song.instruments_features
+    cmask = np.zeros((1, Cb), np.float32)
+    cmask[0, :C] = 1.0
+    lengths = np.full((1,), R, np.int32)
     u = umask = None
-    if unpitched is not None:
-        u = np.zeros((B, unpitched.shape[1], Rb) + unpitched.shape[3:],
-                     np.float32)
-        u[:, :, :R] = unpitched
-        umask = np.ones((B, unpitched.shape[1]), np.float32)
+    # parity: prepare_input passes percussion whenever present, even all-zero
+    # (style_transfer.py:70-73; only the train loop drops silent percussion)
+    has_unpitched = song.unpitched is not None
+    if has_unpitched:
+        u = device_rasterize_song(rasterizer, song.unpitched_notes, False,
+                                  n_channels=1, n_bars=Rb, valid_bars=R)[None]
+        umask = np.ones((1, 1), np.float32)
 
     style, melody, rhythm = bundle.fn("extract")(
-        bundle.params, jnp.asarray(mode), jnp.asarray(bpm), jnp.asarray(p),
-        jnp.asarray(instf_pad),
-        None if u is None else jnp.asarray(u),
+        bundle.params, jnp.asarray(_mode_one_hot(song)),
+        jnp.asarray(np.array([song.info.bpm], np.float32)), p,
+        jnp.asarray(instf_pad), u,
         bar_lengths=jnp.asarray(lengths), channel_mask=jnp.asarray(cmask),
         uchannel_mask=None if umask is None else jnp.asarray(umask))
     return style, melody, rhythm, R
+
+
+def _mode_one_hot(song: Song) -> np.ndarray:
+    is_minor = song.info.scale.is_minor
+    return np.array([[0.0, 1.0]] if is_minor else [[1.0, 0.0]], np.float32)
 
 
 def _hard_output_np(x: np.ndarray) -> np.ndarray:
@@ -193,6 +238,33 @@ def save_channels(rasterizer: Rasterizer, pitched_channels, unpitched_channels,
     native.write_midi_file(save_path, mid)
 
 
+def save_packed_channels(rasterizer: Rasterizer, packed_p, packed_u,
+                         instruments: Sequence[int], save_path: str) -> None:
+    """Decode packed device output ((C,R,T,F10,N) uint arrays) to a .mid."""
+    dur, vel, acc = packed_p
+    instruments_data = []
+    channel_ids = _free_channels(dur.shape[0])
+    for idx, instrument_id in zip(range(dur.shape[0]), instruments):
+        q = rasterizer.derasterize_packed(dur[idx], vel[idx], acc[idx],
+                                          pitched=True)
+        instruments_data.append({
+            "channel_id": channel_ids[idx],
+            "instrument_id": int(instrument_id),
+            "messages": rasterizer.qnotes_to_messages(q, pitched=True),
+        })
+    if packed_u is not None:
+        du, vu, au = packed_u
+        q = rasterizer.derasterize_packed(du[0], vu[0], au[0], pitched=False)
+        instruments_data.append({
+            "channel_id": 9, "instrument_id": -1,
+            "messages": rasterizer.qnotes_to_messages(q, pitched=False),
+        })
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    mid = create_midi(rasterizer.info.as_create_midi_info(),
+                      *instruments_data, max_delta_time=1)
+    native.write_midi_file(save_path, mid)
+
+
 def apply_style(bundle: ModelBundle, info: SongInfo, style, melody, rhythm,
                 n_instruments: int, save_path: str,
                 n_bars: Optional[int] = None) -> None:
@@ -225,15 +297,15 @@ def apply_style(bundle: ModelBundle, info: SongInfo, style, melody, rhythm,
     instf = np.zeros((1, Cb, 51), np.float32)
     if C:
         instf[0, :C] = encode_instruments(instruments)
-    pitched_pred, unpitched_pred = bundle.fn("apply")(
+    packed_p, packed_u = bundle.fn("apply")(
         bundle.params, style, melody, rhythm, jnp.asarray(instf),
-        unpitched=bool(unpitched))
-    # slice away channel/bar padding on device, then fetch once
-    pitched_pred = np.asarray(pitched_pred[:, :C, :R])
-    if unpitched_pred is not None:
-        unpitched_pred = np.asarray(unpitched_pred[:, :, :R])
-    save_channels(rasterizer, pitched_pred, unpitched_pred, instruments,
-                  save_path)
+        jnp.float32(info.ticks_per_beat), unpitched=bool(unpitched))
+    # slice padding on device; fetch the 4-bytes/cell packed form
+    packed_p = tuple(np.asarray(t[0, :C, :R]) for t in packed_p)
+    if packed_u is not None:
+        packed_u = tuple(np.asarray(t[0, :, :R]) for t in packed_u)
+    save_packed_channels(rasterizer, packed_p, packed_u, instruments,
+                         save_path)
 
 
 def combine_info(style_info: SongInfo, melody_info: SongInfo) -> SongInfo:
