@@ -46,6 +46,13 @@ def decode_instruments(one_hot_rows: np.ndarray) -> List[int]:
     return [int(_INSTRUMENT_CATEGORIES[i]) for i in idx]
 
 
+def category_feature_table() -> np.ndarray:
+    """(40, 51) float32: instrument features of each one-hot category index —
+    lets the styled-instrument features be gathered on device from predicted
+    category indices (no host round-trip)."""
+    return encode_instruments(list(_INSTRUMENT_CATEGORIES)).astype(np.float32)
+
+
 def instrument_category_index(program: int) -> int:
     """Position of a program id in the sorted instrument one-hot block."""
     idx = int(np.searchsorted(_INSTRUMENT_CATEGORIES, program))

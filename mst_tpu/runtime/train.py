@@ -177,10 +177,22 @@ def batch_from_song(song: Song, max_n_bars: Optional[int] = None,
     )
 
 
+def bucket_shape(n: int, buckets) -> int:
+    """Smallest bucket >= n (falls back to n itself beyond the largest)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return n
+
+
 def pad_batch(songs, max_channels: int, max_bars: int,
-              max_uchannels: int = 1):
+              max_uchannels: int = 1, bar_cap: Optional[int] = None):
     """Collate songs into one fixed-shape Batch with masks (the TPU-native
-    batched-training path; no reference equivalent — SURVEY.md §2.4 DP row)."""
+    batched-training path; no reference equivalent — SURVEY.md §2.4 DP row).
+
+    ``bar_cap``: per-song bar truncation (the reference's
+    max_total_bars // n_channels rule) applied before padding to ``max_bars``.
+    """
     B = len(songs)
     T = songs[0].pitched.shape[2]
     pitched = np.zeros((B, max_channels, max_bars, T, 10, 56, 5), np.float32)
@@ -197,6 +209,8 @@ def pad_batch(songs, max_channels: int, max_bars: int,
     for i, song in enumerate(songs):
         C = min(song.pitched.shape[0], max_channels)
         R = min(song.pitched.shape[1], max_bars)
+        if bar_cap is not None:
+            R = min(R, bar_cap)
         pitched[i, :C, :R] = song.pitched[:C, :R]
         instf[i, :C] = song.instruments_features[:C]
         cmask[i, :C] = 1.0

@@ -19,6 +19,7 @@ unimported ``shutil.rmtree`` swallowed by a bare except, style_transfer.py:31-34
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import List, Optional, Sequence, Tuple
 
@@ -66,6 +67,89 @@ def _pack_output(x, ticks_per_beat):
     return dur_ticks, vel_byte, code.astype(jnp.uint8)
 
 
+COMPACT_CAPACITIES = (65536, 262144, 1048576)
+
+# fused-result buffer layout (see _fused_transfer_apply)
+_HDR = 8  # [bpm, mode_idx, n_picked, has_unpitched, count_p, count_u, 0, 0]
+
+
+def _device_pick_instruments(logits, n_instruments, max_channels):
+    """Top-n instrument selection on device (parity with the host argsort of
+    style_transfer.py:105-116; the reference's dead percussion-only special
+    case stays dead). Returns (picked category ids (max_channels,) padded -1,
+    n_picked, has_unpitched)."""
+    from mst_tpu.data.taxonomy import PERCUSSION_ID
+    order = jnp.argsort(-logits)                       # (41,)
+    rank = jnp.arange(order.shape[0])
+    in_top = rank < n_instruments
+    has_unpitched = jnp.any(in_top & (order == PERCUSSION_ID))
+    keep = in_top & (order != PERCUSSION_ID)
+    pos = jnp.nonzero(keep, size=max_channels, fill_value=order.shape[0])[0]
+    picked = jnp.where(pos < order.shape[0], order[jnp.minimum(pos, 40)], -1)
+    n_picked = keep.sum()
+    return picked, n_picked, has_unpitched
+
+
+def _compact_flat(dur, vel, acc, n_channels, n_bars, capacity):
+    """Nonzero-velocity compaction of one packed raster into a flat uint32
+    record block: per note [cell_index, dur<<16 | vel<<8 | acc] — 8 bytes."""
+    shape = vel.shape
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    valid = (c_idx < n_channels) & (r_idx < n_bars)
+    vel = jnp.where(valid, vel, 0)
+    flat = vel.reshape(-1)
+    count = (flat > 0).sum()
+    idx = jnp.nonzero(flat, size=capacity, fill_value=0)[0]
+    packed = ((dur.reshape(-1)[idx].astype(jnp.uint32) << 16)
+              | (flat[idx].astype(jnp.uint32) << 8)
+              | acc.reshape(-1)[idx].astype(jnp.uint32))
+    rec = jnp.stack([idx.astype(jnp.uint32), packed], axis=1)
+    return count.astype(jnp.uint32), rec  # (capacity, 2) uint32
+
+
+def _fused_transfer_apply(model, feature_table, params, style, melody, rhythm,
+                          n_instruments, n_bars, tpb, *, capacity,
+                          max_channels):
+    """ONE device program for the whole style application: song-info
+    prediction, on-device instrument pick + feature gather, both appliers,
+    packing, and sparse compaction — results flattened into a single int32
+    buffer so the host pays exactly one jit dispatch and one fetch.
+
+    Buffer layout (uint32): [header(8) | picked(max_channels) |
+    pitched records (capacity*2) | unpitched records ((capacity//4)*2)].
+    """
+    inst_logits, mode_pred, bpm_pred = model.apply(
+        params, style, rhythm,
+        bar_lengths=jnp.full((style.shape[0],), n_bars, jnp.int32),
+        method=StyleTransferModel.predict_song_info)
+    picked, n_picked, has_unpitched = _device_pick_instruments(
+        inst_logits[0], n_instruments, max_channels)
+    instf = jnp.where((picked >= 0)[:, None],
+                      feature_table[jnp.maximum(picked, 0)], 0.0)[None]
+
+    x_p, x_u = model.apply(params, style, melody, rhythm, instf, True,
+                           method=StyleTransferModel.apply_style)
+    dur_p, vel_p, acc_p = _pack_output(x_p, tpb)
+    dur_u, vel_u, acc_u = _pack_output(x_u, tpb)
+    count_p, rec_p = _compact_flat(dur_p, vel_p, acc_p, n_picked, n_bars,
+                                   capacity)
+    cap_u = capacity // 4
+    count_u, rec_u = _compact_flat(
+        dur_u, vel_u, acc_u, jnp.where(has_unpitched, 1, 0), n_bars, cap_u)
+
+    header = jnp.stack([
+        jnp.round(bpm_pred[0]).astype(jnp.uint32),
+        jnp.argmax(mode_pred[0]).astype(jnp.uint32),
+        n_picked.astype(jnp.uint32),
+        has_unpitched.astype(jnp.uint32),
+        count_p, count_u,
+        jnp.uint32(0), jnp.uint32(0)])
+    # picked may contain -1 padding: transported as uint32, viewed back signed
+    return jnp.concatenate([header, picked.astype(jnp.uint32),
+                            rec_p.reshape(-1), rec_u.reshape(-1)])
+
+
 # Shape buckets: channel/bar counts are padded up to these so jit compiles
 # amortize across songs (TPU-first; outputs at padded cells are masked or
 # sliced away, and the padding-equivalence of the masked model is tested).
@@ -100,6 +184,13 @@ class ModelBundle:
                     return packed_p, packed_u
                 self._jitted[key] = jax.jit(apply_packed,
                                             static_argnames=("unpitched",))
+            elif key.startswith("fused"):
+                _, cap, cb = key.split(":")
+                from mst_tpu.data.taxonomy import category_feature_table
+                table = jnp.asarray(category_feature_table())
+                self._jitted[key] = jax.jit(functools.partial(
+                    _fused_transfer_apply, self.model, table,
+                    capacity=int(cap), max_channels=int(cb)))
             else:
                 method = {
                     "extract": StyleTransferModel.extract_style,
@@ -269,43 +360,81 @@ def apply_style(bundle: ModelBundle, info: SongInfo, style, melody, rhythm,
                 n_instruments: int, save_path: str,
                 n_bars: Optional[int] = None) -> None:
     """Predict song info, pick top-k instruments, decode and save
-    (parity: style_transfer.py:101-131). ``n_bars``: real bar count when the
-    latents are bucket-padded (outputs beyond it are sliced off)."""
+    (parity: style_transfer.py:101-131 — incl. the predicted-mode scale
+    overwrite :118-122; the reference's always-false percussion-only special
+    case :107-108 stays behaviorally dead). ``n_bars``: real bar count when
+    the latents are bucket-padded.
+
+    The entire device side (prediction, instrument pick, appliers, packing,
+    sparse compaction) is ONE fused jit call returning one int32 buffer — a
+    single dispatch + single fetch over the (high-latency) host<->TPU link.
+    """
+    from mst_tpu.ops.rasterize import QNotes
+
     R = rhythm.shape[1] if n_bars is None else n_bars
-    lengths = jnp.full((style.shape[0],), R, jnp.int32)
-    instruments_pred, mode_pred, bpm_pred = bundle.fn("predict")(
-        bundle.params, style, rhythm, bar_lengths=lengths)
-    info.tempo = bpm2tempo(round(float(bpm_pred[0])))
+    Cb = _bucket(max(n_instruments, 1), CHANNEL_BUCKETS)
+    tpb = jnp.float32(info.ticks_per_beat)
+    for capacity in COMPACT_CAPACITIES:
+        buf = np.asarray(bundle.fn(f"fused:{capacity}:{Cb}")(
+            bundle.params, style, melody, rhythm, n_instruments, R, tpb))
+        header = buf[:_HDR]
+        count_p, count_u = int(header[4]), int(header[5])
+        if count_p <= capacity and count_u <= capacity // 4:
+            break
 
-    logits = np.asarray(instruments_pred)[0]
-    picked = np.argsort(-logits)[:n_instruments]
-    # NOTE: the reference's "percussion-only -> take one more" special case
-    # (style_transfer.py:107-108) compares a scalar to a one-element list and
-    # is therefore always False; behavior (not intent) is preserved, so a
-    # percussion-only pick yields a percussion-only song.
-    unpitched = PERCUSSION_ID in picked
-    picked = [int(i) for i in picked if i != PERCUSSION_ID]
-    instruments = [category_instrument(i) for i in picked]
-
-    # predicted mode overwrites the scale mode (style_transfer.py:118-122)
-    is_minor = bool(np.asarray(mode_pred)[0].argmax() == 1)
-    info.scale = Scale(tonic=info.scale.tonic, is_minor=is_minor)
-
+    info.tempo = bpm2tempo(int(header[0]))
+    info.scale = Scale(tonic=info.scale.tonic, is_minor=bool(header[1] == 1))
     rasterizer = Rasterizer(info)
-    C = len(instruments)
-    Cb = _bucket(max(C, 1), CHANNEL_BUCKETS)
-    instf = np.zeros((1, Cb, 51), np.float32)
-    if C:
-        instf[0, :C] = encode_instruments(instruments)
-    packed_p, packed_u = bundle.fn("apply")(
-        bundle.params, style, melody, rhythm, jnp.asarray(instf),
-        jnp.float32(info.ticks_per_beat), unpitched=bool(unpitched))
-    # slice padding on device; fetch the 4-bytes/cell packed form
-    packed_p = tuple(np.asarray(t[0, :C, :R]) for t in packed_p)
-    if packed_u is not None:
-        packed_u = tuple(np.asarray(t[0, :, :R]) for t in packed_u)
-    save_packed_channels(rasterizer, packed_p, packed_u, instruments,
-                         save_path)
+    n_picked = int(header[2])
+    has_unpitched = bool(header[3])
+    picked = buf[_HDR:_HDR + Cb].view(np.int32)[:n_picked]
+    instruments = [category_instrument(int(i)) for i in picked]
+
+    Rb, T = rhythm.shape[1], rhythm.shape[2]
+    base = _HDR + Cb
+
+    def unpack(records, shape, n_channels, count):
+        recs = records.reshape(-1, 2)[:count]
+        _, c, bar, beat, frac, note = np.unravel_index(
+            recs[:, 0].astype(np.int64), shape)
+        dur = (recs[:, 1] >> 16) & 0xFFFF
+        vel = (recs[:, 1] >> 8) & 0xFF
+        acc = recs[:, 1] & 0xFF
+        out = []
+        for ci in range(n_channels):
+            sel = c == ci
+            out.append(QNotes(
+                bar=bar[sel].astype(np.int64),
+                beat=beat[sel].astype(np.int64),
+                frac_idx=frac[sel].astype(np.int32),
+                note_idx=note[sel].astype(np.int32),
+                duration=dur[sel].astype(np.int64),
+                velocity=vel[sel].astype(np.float64) / 127.0,
+                acc=acc[sel].astype(np.int32)))
+        return out
+
+    shape_p = (1, Cb, Rb, T, 10, 56)
+    qnotes_p = unpack(buf[base:base + capacity * 2], shape_p, n_picked,
+                      count_p)
+    instruments_data = []
+    channel_ids = _free_channels(n_picked)
+    for c in range(n_picked):
+        instruments_data.append({
+            "channel_id": channel_ids[c],
+            "instrument_id": int(instruments[c]),
+            "messages": rasterizer.qnotes_to_messages(qnotes_p[c], True),
+        })
+    if has_unpitched:
+        shape_u = (1, 1, Rb, T, 10, 47)
+        qnotes_u = unpack(buf[base + capacity * 2:], shape_u, 1, count_u)
+        instruments_data.append({
+            "channel_id": 9, "instrument_id": -1,
+            "messages": rasterizer.qnotes_to_messages(qnotes_u[0], False),
+        })
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    mid = create_midi(rasterizer.info.as_create_midi_info(),
+                      *instruments_data, max_delta_time=1)
+    native.write_midi_file(save_path, mid)
 
 
 def combine_info(style_info: SongInfo, melody_info: SongInfo) -> SongInfo:

@@ -27,6 +27,12 @@ def main():
     parser.add_argument("--seed", type=int, default=108)
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
+    parser.add_argument("--exact-shapes", action="store_true",
+                        help="train on exact per-song shapes (the reference's "
+                             "behavior; recompiles per shape) instead of "
+                             "padded shape buckets")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest snapshot if present")
     args = parser.parse_args()
 
     if args.cpu:
@@ -43,7 +49,8 @@ def main():
     from mst_tpu.runtime.checkpoint import CheckpointManager
     from mst_tpu.runtime.metrics import CsvLogger, ProgressBar, flatten_losses
     from mst_tpu.runtime.train import (
-        batch_from_song, create_train_state, make_train_step)
+        batch_from_song, bucket_shape, create_train_state, make_train_step,
+        pad_batch)
 
     config = Config(train=TrainConfig(n_iterations=args.iters, seed=args.seed,
                                       save_interval=args.save_interval))
@@ -72,16 +79,33 @@ def main():
     state = None
     step_fns = {}
 
-    for iteration in range(config.train.n_iterations):
+    start_iteration = 0
+    if args.resume:
+        latest = checkpoints.latest_step()
+        if latest is not None:
+            start_iteration = latest + 1
+            print(f"Resuming from snapshot {latest}")
+
+    for iteration in range(start_iteration, config.train.n_iterations):
         filename, song = next(songs)
         # parity: per-song bar cap 800 // n_channels (train-model.py:101)
         max_n_bars = config.train.max_total_bars // song.n_channels
-        batch = batch_from_song(song, max_n_bars)
-        if batch is None:
-            continue
+        if args.exact_shapes:
+            batch = batch_from_song(song, max_n_bars)
+            if batch is None:
+                continue
+        else:
+            if song.pitched.sum() == 0:
+                continue
+            Cb = bucket_shape(song.n_channels, config.train.channel_buckets)
+            Rb = bucket_shape(min(song.n_bars, max_n_bars),
+                              config.train.bar_buckets)
+            batch = pad_batch([song], Cb, Rb, bar_cap=max_n_bars)
         has_unpitched = batch.unpitched is not None
         if state is None:
             state = create_train_state(model, config, batch, rng)
+            if args.resume and start_iteration:
+                state = checkpoints.restore(state)
 
         key = has_unpitched
         if key not in step_fns:
