@@ -40,20 +40,34 @@ class EmaMeter:
 
 
 class ProgressBar:
-    """tqdm wrapper showing the EMA averages as a postfix
-    (parity: utils/misc.py:17-82)."""
+    """tqdm wrapper showing the EMA averages as a postfix, with optional
+    min/max tracking per metric (parity: utils/misc.py:17-82, incl.
+    show_min_for/show_max_for)."""
 
     def __init__(self, n_iterations: Optional[int] = None,
-                 momentum: float = 0.99):
+                 momentum: float = 0.99, show_min_for=(), show_max_for=()):
         self.meter = EmaMeter(momentum)
+        self.show_min_for = show_min_for
+        self.show_max_for = show_max_for
+        self.min_values: Dict[str, float] = {}
+        self.max_values: Dict[str, float] = {}
         self.pbar = tqdm(total=n_iterations)
 
     def add(self, n: int = 1, **values):
         self.pbar.update(n)
         self.meter.update(n, **values)
-        postfix = ", ".join(f"{k}: {v:.2f}"
-                            for k, v in self.meter.averages.items())
-        self.pbar.set_postfix_str(postfix)
+        averages = self.meter.averages
+        for key, avg in averages.items():
+            self.min_values[key] = min(avg, self.min_values.get(key,
+                                                               math.inf))
+            self.max_values[key] = max(avg, self.max_values.get(key,
+                                                               -math.inf))
+        parts = [f"{k}: {v:.2f}" for k, v in averages.items()]
+        parts += [f"min {k}: {v:.2f}" for k, v in self.min_values.items()
+                  if k in self.show_min_for]
+        parts += [f"max {k}: {v:.2f}" for k, v in self.max_values.items()
+                  if k in self.show_max_for]
+        self.pbar.set_postfix_str(", ".join(parts))
 
     def close(self):
         self.pbar.close()

@@ -73,18 +73,32 @@ def make_optimizer(config: Config):
 
 def create_train_state(model: StyleTransferModel, config: Config,
                        sample_batch: Batch, rng) -> TrainState:
-    params = model.init(
-        rng, sample_batch.mode, sample_batch.bpm, sample_batch.pitched,
-        sample_batch.instruments_features, sample_batch.unpitched,
-        bar_lengths=sample_batch.bar_lengths,
-        channel_mask=sample_batch.channel_mask,
-        uchannel_mask=sample_batch.uchannel_mask)
-    opt = make_optimizer(config)
-    opt_state = opt.init(params)
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-    return TrainState(params=params, opt_state=opt_state, accum_grads=zeros,
-                      micro_step=jnp.zeros((), jnp.int32),
-                      opt_step=jnp.zeros((), jnp.int32))
+    # Initialize on the host CPU backend: un-jitted init dispatches hundreds
+    # of small ops, which is pathological on a remote/attached accelerator;
+    # params then transfer once (~4 MB).
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        host_batch = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if x is not None else None, sample_batch,
+            is_leaf=lambda x: x is None)
+        # jit the init: one compiled program instead of hundreds of eager ops
+        params = jax.jit(model.init)(
+            rng, host_batch.mode, host_batch.bpm, host_batch.pitched,
+            host_batch.instruments_features, host_batch.unpitched,
+            bar_lengths=host_batch.bar_lengths,
+            channel_mask=host_batch.channel_mask,
+            uchannel_mask=host_batch.uchannel_mask)
+        opt = make_optimizer(config)
+        opt_state = opt.init(params)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        state = TrainState(params=params, opt_state=opt_state,
+                           accum_grads=zeros,
+                           micro_step=jnp.zeros((), jnp.int32),
+                           opt_step=jnp.zeros((), jnp.int32))
+    default = jax.devices()[0]
+    if default.platform != "cpu":
+        state = jax.device_put(state, default)
+    return state
 
 
 def loss_fn(model: StyleTransferModel, params, batch: Batch,
@@ -147,9 +161,18 @@ def make_train_step(model: StyleTransferModel, config: Config,
         new_state = TrainState(params=params, opt_state=opt_state,
                                accum_grads=accum, micro_step=micro_step,
                                opt_step=opt_step)
-        return new_state, losses
+        # one stacked loss vector -> ONE host fetch for all metrics (separate
+        # scalar fetches cost a transport round-trip each on remote TPUs)
+        return new_state, jnp.stack(tuple(losses))
 
-    return jax.jit(step, donate_argnums=(0,))
+    jitted = jax.jit(step, donate_argnums=(0,))
+
+    def wrapped(state: TrainState, batch: Batch):
+        new_state, vec = jitted(state, batch)
+        values = np.asarray(vec)
+        return new_state, LossDict(*[float(v) for v in values])
+
+    return wrapped
 
 
 def batch_from_song(song: Song, max_n_bars: Optional[int] = None,
@@ -185,16 +208,68 @@ def bucket_shape(n: int, buckets) -> int:
     return n
 
 
+def device_batch_from_song(song: Song, max_channels: int, max_bars: int,
+                           bar_cap: Optional[int] = None,
+                           use_pallas: Optional[bool] = None
+                           ) -> Optional[Batch]:
+    """Bucket-padded batch-of-one whose dense rasters are materialized ON
+    DEVICE from the song's SoA notes (mst_tpu.ops.device_raster) — per step
+    only ~KBs of note records cross host->HBM instead of the padded tensor
+    (tens of MB). Masks/labels identical to pad_batch."""
+    from mst_tpu.ops.device_raster import device_rasterize_song
+    from mst_tpu.ops.rasterize import Rasterizer
+
+    if song.pitched.sum() == 0:
+        return None
+    rasterizer = Rasterizer(song.info)
+    C = min(song.pitched.shape[0], max_channels)
+    R = min(song.pitched.shape[1], max_bars)
+    if bar_cap is not None:
+        R = min(R, bar_cap)
+    pitched = device_rasterize_song(
+        rasterizer, song.pitched_notes[:C], True, n_channels=max_channels,
+        n_bars=max_bars, valid_bars=R, use_pallas=use_pallas)[None]
+    has_unpitched = song.unpitched is not None and song.unpitched.sum() > 0
+    unpitched = None
+    if has_unpitched:
+        unpitched = device_rasterize_song(
+            rasterizer, song.unpitched_notes, False, n_channels=1,
+            n_bars=max_bars, valid_bars=R, use_pallas=use_pallas)[None]
+
+    instf = np.zeros((1, max_channels, 51), np.float32)
+    instf[0, :C] = song.instruments_features[:C]
+    cmask = np.zeros((1, max_channels), np.float32)
+    cmask[0, :C] = 1.0
+    is_minor = song.info.scale.is_minor
+    mode = np.array([[0.0, 1.0]] if is_minor else [[1.0, 0.0]], np.float32)
+    used = get_used_instruments(song.instruments_features[None, :C],
+                                has_unpitched)
+    return Batch(
+        mode=jnp.asarray(mode),
+        bpm=jnp.asarray(np.array([song.info.bpm], np.float32)),
+        pitched=pitched, instruments_features=jnp.asarray(instf),
+        unpitched=unpitched, used_instruments=jnp.asarray(used),
+        bar_lengths=jnp.asarray(np.array([R], np.int32)),
+        channel_mask=jnp.asarray(cmask),
+        uchannel_mask=jnp.ones((1, 1), jnp.float32) if has_unpitched else None,
+    )
+
+
 def pad_batch(songs, max_channels: int, max_bars: int,
-              max_uchannels: int = 1, bar_cap: Optional[int] = None):
+              max_uchannels: int = 1, bar_cap=None):
     """Collate songs into one fixed-shape Batch with masks (the TPU-native
     batched-training path; no reference equivalent — SURVEY.md §2.4 DP row).
 
     ``bar_cap``: per-song bar truncation (the reference's
-    max_total_bars // n_channels rule) applied before padding to ``max_bars``.
+    max_total_bars // n_channels rule) applied before padding to ``max_bars``;
+    an int applies to all songs, a sequence gives per-song caps.
     """
     B = len(songs)
     T = songs[0].pitched.shape[2]
+    if bar_cap is None or isinstance(bar_cap, int):
+        bar_caps = [bar_cap] * B
+    else:
+        bar_caps = list(bar_cap)
     pitched = np.zeros((B, max_channels, max_bars, T, 10, 56, 5), np.float32)
     instf = np.zeros((B, max_channels, 51), np.float32)
     unpitched = np.zeros((B, max_uchannels, max_bars, T, 10, 47, 2),
@@ -209,8 +284,8 @@ def pad_batch(songs, max_channels: int, max_bars: int,
     for i, song in enumerate(songs):
         C = min(song.pitched.shape[0], max_channels)
         R = min(song.pitched.shape[1], max_bars)
-        if bar_cap is not None:
-            R = min(R, bar_cap)
+        if bar_caps[i] is not None:
+            R = min(R, bar_caps[i])
         pitched[i, :C, :R] = song.pitched[:C, :R]
         instf[i, :C] = song.instruments_features[:C]
         cmask[i, :C] = 1.0

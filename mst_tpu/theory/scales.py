@@ -209,6 +209,30 @@ def detect_scale(keys_dist) -> Scale:
     return Scale(tonic=idx % 12, is_minor=idx >= 12, loss=float(loss[idx]))
 
 
+def score_scales(keys_dist):
+    """All 24 candidate scores as records (parity: style/scales.py:160-190
+    get_scales — same candidate order: 12 major keys C..B then 12 minor).
+    The reference also computes an ndcg field through an unavailable import
+    (scales.py:203, never used in the loss); it is omitted."""
+    keys_dist = _normalize_dist(np.asarray(keys_dist, dtype=np.float64))
+    rotated = keys_dist[_ROT_IDX]
+    coverage = (rotated * _COV_MASK).sum(-1)
+    loose = (rotated * _LOOSE_MASK).sum(-1)
+    ce = -(_PROFILES * np.log(np.clip(rotated, _CE_EPS, 1.0))).sum(-1) / 12.0
+    loss = ce * (1.5 - coverage) * (2.0 - loose)
+    out = []
+    for i in range(24):
+        out.append({
+            "key": KEY_NAMES[i % 12],
+            "mode": "minor" if i >= 12 else "major",
+            "coverage": float(coverage[i]),
+            "loose_coverage": float(loose[i]),
+            "cross_entropy": float(ce[i]),
+            "loss": float(loss[i]),
+        })
+    return out
+
+
 def detect_scales_batch(keys_dists, xp=np):
     """Batched detection: (B, 12) -> (tonic (B,), is_minor (B,)) arrays.
 

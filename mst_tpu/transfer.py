@@ -29,9 +29,8 @@ import numpy as np
 
 from mst_tpu.data.pipeline import Song, get_input, prepare_input
 from mst_tpu.data.taxonomy import (
-    INCLUDED_INSTRUMENTS, PERCUSSION_ID, category_instrument,
-    encode_instruments)
-from mst_tpu.io import create_midi, load_midi_from_file, native, smf
+    INCLUDED_INSTRUMENTS, PERCUSSION_ID, category_instrument)
+from mst_tpu.io import create_midi, load_midi_from_file, native
 from mst_tpu.io.midi import bpm2tempo
 from mst_tpu.models import StyleTransferModel
 from mst_tpu.ops.events import SongInfo, read_midi

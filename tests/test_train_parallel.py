@@ -111,3 +111,28 @@ def test_sharded_step_matches_single_device():
     b = jax.tree_util.tree_leaves(s_shard.accum_grads)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_device_batch_matches_pad_batch(example_midis):
+    """Device-rasterized training batch == host pad_batch at equal settings."""
+    from mst_tpu.io import load_midi_from_file
+    from mst_tpu.ops.events import read_midi
+    from mst_tpu.data.pipeline import get_input
+    from mst_tpu.runtime.train import device_batch_from_song, pad_batch
+    path = [p for p in example_midis if p.name == "Angie.4.mid"][0]
+    channels, info = read_midi(load_midi_from_file(path))
+    song = get_input(channels, info)
+    a = device_batch_from_song(song, 8, 64, bar_cap=50, use_pallas=False)
+    b = pad_batch([song], 8, 64, bar_cap=50)
+    np.testing.assert_array_equal(np.asarray(a.pitched), np.asarray(b.pitched))
+    np.testing.assert_array_equal(np.asarray(a.instruments_features),
+                                  np.asarray(b.instruments_features))
+    np.testing.assert_array_equal(np.asarray(a.channel_mask),
+                                  np.asarray(b.channel_mask))
+    np.testing.assert_array_equal(np.asarray(a.bar_lengths),
+                                  np.asarray(b.bar_lengths))
+    np.testing.assert_array_equal(np.asarray(a.used_instruments),
+                                  np.asarray(b.used_instruments))
+    if a.unpitched is not None or b.unpitched is not None:
+        np.testing.assert_array_equal(np.asarray(a.unpitched),
+                                      np.asarray(b.unpitched))

@@ -33,6 +33,12 @@ def main():
                              "padded shape buckets")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest snapshot if present")
+    parser.add_argument("--profile-dir", default=None,
+                        help="write a jax.profiler trace of iterations 10-15")
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help="songs per step (>1: padded fixed-shape batch, "
+                             "data-parallel over all devices; the reference "
+                             "trains one song per step)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -49,8 +55,8 @@ def main():
     from mst_tpu.runtime.checkpoint import CheckpointManager
     from mst_tpu.runtime.metrics import CsvLogger, ProgressBar, flatten_losses
     from mst_tpu.runtime.train import (
-        batch_from_song, bucket_shape, create_train_state, make_train_step,
-        pad_batch)
+        batch_from_song, bucket_shape, create_train_state,
+        device_batch_from_song, make_train_step)
 
     config = Config(train=TrainConfig(n_iterations=args.iters, seed=args.seed,
                                       save_interval=args.save_interval))
@@ -86,21 +92,46 @@ def main():
             start_iteration = latest + 1
             print(f"Resuming from snapshot {latest}")
 
-    for iteration in range(start_iteration, config.train.n_iterations):
-        filename, song = next(songs)
-        # parity: per-song bar cap 800 // n_channels (train-model.py:101)
-        max_n_bars = config.train.max_total_bars // song.n_channels
-        if args.exact_shapes:
-            batch = batch_from_song(song, max_n_bars)
-            if batch is None:
-                continue
-        else:
-            if song.pitched.sum() == 0:
-                continue
+    mesh = None
+    if args.batch_size > 1 and len(jax.devices()) > 1:
+        from mst_tpu.parallel import create_mesh
+        mesh = create_mesh()
+        print(f"Data-parallel mesh: {dict(mesh.shape)}")
+
+    def next_batch():
+        """One training batch: a single song (reference behavior) or a padded
+        fixed-shape batch of several, sharded over the mesh if present."""
+        from mst_tpu.runtime.train import pad_batch
+        if args.batch_size == 1:
+            filename, song = next(songs)
+            max_n_bars = config.train.max_total_bars // song.n_channels
+            if args.exact_shapes:
+                return batch_from_song(song, max_n_bars)
             Cb = bucket_shape(song.n_channels, config.train.channel_buckets)
             Rb = bucket_shape(min(song.n_bars, max_n_bars),
                               config.train.bar_buckets)
-            batch = pad_batch([song], Cb, Rb, bar_cap=max_n_bars)
+            return device_batch_from_song(song, Cb, Rb, bar_cap=max_n_bars)
+        group, caps = [], []
+        while len(group) < args.batch_size:
+            _, song = next(songs)
+            if song.pitched.sum() == 0:
+                continue
+            group.append(song)
+            caps.append(config.train.max_total_bars // song.n_channels)
+        Cb = bucket_shape(max(s.n_channels for s in group),
+                          config.train.channel_buckets)
+        Rb = bucket_shape(max(min(s.n_bars, c) for s, c in zip(group, caps)),
+                          config.train.bar_buckets)
+        batch = pad_batch(group, Cb, Rb, bar_cap=caps)
+        if mesh is not None:
+            from mst_tpu.parallel import shard_batch
+            batch = shard_batch(batch, mesh)
+        return batch
+
+    for iteration in range(start_iteration, config.train.n_iterations):
+        batch = next_batch()
+        if batch is None:
+            continue
         has_unpitched = batch.unpitched is not None
         if state is None:
             state = create_train_state(model, config, batch, rng)
@@ -110,7 +141,11 @@ def main():
         key = has_unpitched
         if key not in step_fns:
             step_fns[key] = make_train_step(model, config, has_unpitched)
+        if args.profile_dir and iteration == 10:
+            jax.profiler.start_trace(args.profile_dir)
         state, losses = step_fns[key](state, batch)
+        if args.profile_dir and iteration == 15:
+            jax.profiler.stop_trace()
 
         values = dict(
             total_loss=float(losses.total),
