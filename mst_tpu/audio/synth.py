@@ -15,7 +15,7 @@ from typing import Optional
 
 import numpy as np
 
-from mst_tpu.io.midi import NoteStream, tick2second
+from mst_tpu.io.midi import tick2second
 from mst_tpu.ops.events import NoteArray, pair_notes
 
 SAMPLE_RATE = 22050

@@ -18,8 +18,7 @@ from typing import Iterable, List, Optional, Sequence, Tuple
 import numpy as np
 
 from mst_tpu.exceptions import MidiFormatError
-from mst_tpu.data.taxonomy import (
-    INCLUDED_INSTRUMENTS, N_INSTRUMENTS, PERCUSSION_ID, encode_instruments)
+from mst_tpu.data.taxonomy import INCLUDED_INSTRUMENTS, encode_instruments
 from mst_tpu.io.midi import is_pitched, load_midi_from_file
 from mst_tpu.ops.events import (
     NoteArray, SongInfo, merge_note_arrays, pair_notes, read_midi)

@@ -12,7 +12,7 @@ reference's unpadded behavior.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

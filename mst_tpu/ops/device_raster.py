@@ -20,7 +20,7 @@ Two implementations with identical semantics (scatter-max, zero base):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

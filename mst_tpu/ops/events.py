@@ -25,7 +25,7 @@ import numpy as np
 from mst_tpu.exceptions import MidiFormatError
 from mst_tpu.io.midi import (
     DEFAULT_TEMPO, DEFAULT_VOLUME, MAX_VELOCITY, MAX_VOLUME, NoteStream,
-    PROGRAM_TO_INSTRUMENT, get_instrument_id, is_pitched, tempo2bpm,
+    PROGRAM_TO_INSTRUMENT, tempo2bpm,
 )
 from mst_tpu.io.smf import (
     EV_CONTROL, EV_KEY_SIG, EV_NOTE_OFF, EV_NOTE_ON, EV_PROGRAM, EV_TEMPO,

@@ -21,7 +21,7 @@ wrapper but with zero module machinery.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,12 +15,9 @@ Exactness: identical results to the dense single-device scan (tested on an
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _local_scan(gates_x, w_hh, carry):

@@ -17,8 +17,6 @@ ICI (see mst_tpu.parallel).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax

@@ -46,8 +46,7 @@ def main():
     if args.snapshots:
         from mst_tpu.config import Config
         from mst_tpu.runtime.checkpoint import CheckpointManager
-        from mst_tpu.runtime.train import TrainState, create_train_state
-        import numpy as np
+        from mst_tpu.runtime.train import TrainState
         mgr = CheckpointManager(args.snapshots)
         step = mgr.latest_step()
         if step is None:

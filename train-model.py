@@ -10,10 +10,8 @@ minimal CLI is added for paths/iteration overrides.
 """
 
 import argparse
-import dataclasses
 import glob
 import os
-import time
 
 
 def main():
