@@ -57,10 +57,25 @@ class LSTMCellParams(nn.Module):
 
 
 def _lstm_scan(x, w_ih, w_hh, b, reverse: bool = False):
-    """x: (N, T, D) -> outputs (N, T, H); scan is time-major internally."""
+    """x: (N, T, D) -> outputs (N, T, H); scan is time-major internally.
+
+    Under an active sequence-sharding context (ops.seq_context) a long-enough
+    time axis runs as the pipelined seq-sharded recurrence instead — the input
+    projection is global either way."""
     n, t, _ = x.shape
     h_dim = w_hh.shape[0]
     gates_x = jnp.einsum("ntd,dk->ntk", x, w_ih) + b  # one MXU matmul
+
+    from mst_tpu.ops.seq_context import MIN_SEQ_LEN, current_seq_mesh
+    ctx = current_seq_mesh()
+    if ctx is not None:
+        mesh, axis = ctx
+        n_shards = mesh.shape[axis]
+        if t >= MIN_SEQ_LEN and t % n_shards == 0:
+            from mst_tpu.parallel.seq_lstm import seq_sharded_scan
+            return seq_sharded_scan(gates_x, w_hh, mesh, axis,
+                                    reverse=reverse)
+
     gates_x = jnp.swapaxes(gates_x, 0, 1)  # (T, N, 4H)
     if reverse:
         gates_x = gates_x[::-1]

@@ -37,18 +37,33 @@ def create_mesh(n_data: Optional[int] = None, n_seq: int = 1,
     return Mesh(devices, axis_names=("data", "seq"))
 
 
-def _batch_spec(batch: Batch) -> Batch:
-    """PartitionSpec per Batch field: batch axis over ``data``, rest replicated."""
-    def spec(x):
+def _batch_spec(batch: Batch, seq: bool = False) -> Batch:
+    """PartitionSpec per Batch field: batch axis over ``data``; with ``seq``,
+    the bar axis (dim 2 of the 7-D raster tensors) over ``seq``."""
+    def spec(x, bar_axis=None):
         if x is None:
             return None
-        return P("data", *([None] * (x.ndim - 1)))
-    return Batch(*[spec(x) for x in batch])
+        parts = ["data"] + [None] * (x.ndim - 1)
+        if seq and bar_axis is not None and x.ndim > bar_axis:
+            parts[bar_axis] = "seq"
+        return P(*parts)
+    return Batch(
+        mode=spec(batch.mode),
+        bpm=spec(batch.bpm),
+        pitched=spec(batch.pitched, bar_axis=2),
+        instruments_features=spec(batch.instruments_features),
+        unpitched=spec(batch.unpitched, bar_axis=2),
+        used_instruments=spec(batch.used_instruments),
+        bar_lengths=spec(batch.bar_lengths),
+        channel_mask=spec(batch.channel_mask),
+        uchannel_mask=spec(batch.uchannel_mask),
+    )
 
 
-def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
-    """device_put every array with its batch axis sharded over ``data``."""
-    specs = _batch_spec(batch)
+def shard_batch(batch: Batch, mesh: Mesh, seq: bool = False) -> Batch:
+    """device_put every array with its batch axis sharded over ``data`` (and
+    optionally the bar axis over ``seq``)."""
+    specs = _batch_spec(batch, seq=seq)
     out = []
     for x, spec in zip(batch, specs):
         if x is None:

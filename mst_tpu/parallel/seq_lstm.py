@@ -32,18 +32,25 @@ def _local_scan(gates_x, w_hh, carry):
     return jax.lax.scan(step, carry, gates_x)
 
 
-def seq_sharded_lstm(x, w_ih, w_hh, b, mesh: Mesh, seq_axis: str = "seq"):
-    """x: (B, T, D) with T divisible by the seq-axis size. Returns (B, T, H)
-    outputs, numerically identical to the dense scan."""
+def seq_sharded_scan(gates_x, w_hh, mesh: Mesh, seq_axis: str = "seq",
+                     reverse: bool = False):
+    """The sharded LSTM recurrence alone: ``gates_x`` (B, T, 4H) are the
+    already-projected inputs (x @ W_ih + b — computed globally so XLA shards
+    the matmul); only the serial carry chain runs under shard_map, pipelined
+    across the ``seq`` shards with ppermute carry handoff. ``reverse`` scans
+    right-to-left (for the backward half of a BiLSTM): implemented as the
+    forward pipeline over globally-flipped gates.
+    """
+    if reverse:
+        return seq_sharded_scan(gates_x[:, ::-1], w_hh, mesh, seq_axis)[:, ::-1]
     n_shards = mesh.shape[seq_axis]
-    B, T, D = x.shape
+    B, T, _ = gates_x.shape
     assert T % n_shards == 0, (T, n_shards)
     H = w_hh.shape[0]
 
-    def shard_fn(x_local, w_ih, w_hh, b):
-        # x_local: (B, T/n, D) on each device
-        gates_x = jnp.einsum("btd,dk->btk", x_local, w_ih) + b  # parallel MXU
-        gates_x = jnp.swapaxes(gates_x, 0, 1)                   # (T_l, B, 4H)
+    def shard_fn(gates_local, w_hh):
+        # gates_local: (B, T/n, 4H) on each device
+        gates_x = jnp.swapaxes(gates_local, 0, 1)               # (T_l, B, 4H)
         me = jax.lax.axis_index(seq_axis)
 
         def varying(v):
@@ -51,36 +58,43 @@ def seq_sharded_lstm(x, w_ih, w_hh, b, mesh: Mesh, seq_axis: str = "seq"):
             # is consistent (values actually do diverge per shard)
             return jax.lax.pcast(v, (seq_axis,), to="varying")
 
-        zero = (varying(jnp.zeros((B, H), x.dtype)),
-                varying(jnp.zeros((B, H), x.dtype)))
-        ys0 = varying(jnp.zeros((gates_x.shape[0], B, H), x.dtype))
+        dtype = gates_local.dtype
+        zero = (varying(jnp.zeros((B, H), dtype)),
+                varying(jnp.zeros((B, H), dtype)))
+        ys0 = varying(jnp.zeros((gates_x.shape[0], B, H), dtype))
 
-        def stage(s, state):
-            carry, ys = state
-
-            def run(_):
-                return _local_scan(gates_x, w_hh, carry)
-
-            def skip(_):
-                return carry, ys
-
-            new_carry, new_ys = jax.lax.cond(me == s, run, skip, None)
-            ys = jnp.where(me == s, new_ys, ys)
-            # hand the carry to the next shard over ICI
-            perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-            h = jax.lax.ppermute(new_carry[0], seq_axis, perm)
-            c = jax.lax.ppermute(new_carry[1], seq_axis, perm)
-            return (h, c), ys
-
-        (_, ys) = jax.lax.fori_loop(0, n_shards, stage, (zero, ys0))
+        # statically unrolled pipeline (n_shards is small and static): every
+        # device executes the same linear sequence of collectives, which keeps
+        # forward AND transposed (backward) schedules deadlock-free
+        carry, ys = zero, ys0
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        for s in range(n_shards):
+            active = me == s
+            new_carry, new_ys = _local_scan(gates_x, w_hh, carry)
+            ys = jnp.where(active, new_ys, ys)
+            keep_h = jnp.where(active, new_carry[0], carry[0])
+            keep_c = jnp.where(active, new_carry[1], carry[1])
+            h = jax.lax.ppermute(keep_h, seq_axis, perm)
+            c = jax.lax.ppermute(keep_c, seq_axis, perm)
+            carry = (h, c)
         return jnp.swapaxes(ys, 0, 1)  # (B, T_l, H)
 
-    from jax.experimental.shard_map import shard_map
-    fn = shard_map(
+    # manual only over the seq axis (axis_names); the data axis stays under
+    # jit's automatic partitioning so DP and SP compose
+    fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(None, seq_axis, None), P(), P(), P()),
-        out_specs=P(None, seq_axis, None))
-    return fn(x, w_ih, w_hh, b)
+        in_specs=(P(None, seq_axis, None), P()),
+        out_specs=P(None, seq_axis, None),
+        axis_names={seq_axis})
+    return fn(gates_x, w_hh)
+
+
+def seq_sharded_lstm(x, w_ih, w_hh, b, mesh: Mesh, seq_axis: str = "seq",
+                     reverse: bool = False):
+    """Full seq-sharded LSTM: global input projection (XLA shards the matmul)
+    + the pipelined recurrence. Numerically identical to the dense scan."""
+    gates_x = jnp.einsum("btd,dk->btk", x, w_ih) + b
+    return seq_sharded_scan(gates_x, w_hh, mesh, seq_axis, reverse=reverse)
 
 
 def dense_reference_lstm(x, w_ih, w_hh, b):

@@ -37,6 +37,10 @@ def main():
                         help="songs per step (>1: padded fixed-shape batch, "
                              "data-parallel over all devices; the reference "
                              "trains one song per step)")
+    parser.add_argument("--seq-parallel", type=int, default=1,
+                        help="shard the bar axis over this many devices "
+                             "(pipelined LSTM recurrence; bar bucket must be "
+                             "divisible by it)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -91,10 +95,11 @@ def main():
             print(f"Resuming from snapshot {latest}")
 
     mesh = None
-    if args.batch_size > 1 and len(jax.devices()) > 1:
+    if (args.batch_size > 1 or args.seq_parallel > 1) and \
+            len(jax.devices()) > 1:
         from mst_tpu.parallel import create_mesh
-        mesh = create_mesh()
-        print(f"Data-parallel mesh: {dict(mesh.shape)}")
+        mesh = create_mesh(n_seq=args.seq_parallel)
+        print(f"Device mesh: {dict(mesh.shape)}")
 
     def next_batch():
         """One training batch: a single song (reference behavior) or a padded
@@ -123,7 +128,7 @@ def main():
         batch = pad_batch(group, Cb, Rb, bar_cap=caps)
         if mesh is not None:
             from mst_tpu.parallel import shard_batch
-            batch = shard_batch(batch, mesh)
+            batch = shard_batch(batch, mesh, seq=args.seq_parallel > 1)
         return batch
 
     for iteration in range(start_iteration, config.train.n_iterations):
@@ -141,7 +146,9 @@ def main():
             step_fns[key] = make_train_step(model, config, has_unpitched)
         if args.profile_dir and iteration == 10:
             jax.profiler.start_trace(args.profile_dir)
-        state, losses = step_fns[key](state, batch)
+        from mst_tpu.ops.seq_context import sequence_sharding
+        with sequence_sharding(mesh):  # no-op when mesh is None or seq==1
+            state, losses = step_fns[key](state, batch)
         if args.profile_dir and iteration == 15:
             jax.profiler.stop_trace()
 
