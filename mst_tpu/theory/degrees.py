@@ -105,6 +105,18 @@ class DegreeTables:
         return 12 * (xp.asarray(scale_octave) + 1) + off
 
 
+def note_id_to_key_octave(note_id: int):
+    """Chromatic MIDI note -> (key index 0..11, octave) with octave -1 at
+    note 0 (parity: note_id2key_octave, midi_conversion.py:309-317)."""
+    return note_id % 12, note_id // 12 - 1
+
+
+def key_octave_to_note_id(key_index: int, octave: int) -> int:
+    """Inverse of :func:`note_id_to_key_octave` (parity: note2note_id,
+    midi_conversion.py:320-324)."""
+    return 12 * (octave + 1) + key_index
+
+
 def _build() -> DegreeTables:
     fwd_degree = np.stack([_mode_tables(m)[0] for m in _MODES])
     fwd_acc = np.stack([_mode_tables(m)[1] for m in _MODES])
