@@ -183,6 +183,31 @@ class ModelBundle:
                     return packed_p, packed_u
                 self._jitted[key] = jax.jit(apply_packed,
                                             static_argnames=("unpitched",))
+            elif key.startswith("raster_extract"):
+                # one dispatch: on-device rasterization of both note families
+                # + the latent extractor (shapes keyed by the cache key)
+                from mst_tpu.ops.device_raster import segment_rasterize
+
+                def raster_extract(params, p_notes, u_notes, mode, bpm, instf,
+                                   lengths, cmask, umask, *, Cb, Rb, T,
+                                   has_unpitched):
+                    n_rows_p = Cb * Rb * T * 10
+                    flat_p = segment_rasterize(*p_notes, n_rows_p, 56, 5)
+                    pitched = flat_p.reshape(1, Cb, Rb, T, 10, 56, 5)
+                    unpitched = None
+                    if has_unpitched:
+                        n_rows_u = Rb * T * 10
+                        flat_u = segment_rasterize(*u_notes, n_rows_u, 47, 2)
+                        unpitched = flat_u.reshape(1, 1, Rb, T, 10, 47, 2)
+                    return self.model.apply(
+                        params, mode, bpm, pitched, instf, unpitched,
+                        bar_lengths=lengths, channel_mask=cmask,
+                        uchannel_mask=umask if has_unpitched else None,
+                        method=StyleTransferModel.extract_style)
+
+                self._jitted[key] = jax.jit(
+                    raster_extract,
+                    static_argnames=("Cb", "Rb", "T", "has_unpitched"))
             elif key.startswith("fused"):
                 _, cap, cb = key.split(":")
                 from mst_tpu.data.taxonomy import category_feature_table
@@ -218,43 +243,53 @@ def extract_style(bundle: ModelBundle, song: Song):
     """Parity: style_transfer.py:67-74 (max_n_bars = 1000 // n_channels).
 
     TPU-first data path: only the SoA note records travel to the device; the
-    dense bucket-padded raster is materialized on-chip by the Pallas
-    scatter-max kernel (mst_tpu.ops.device_raster), then fed straight to the
-    jitted extractor (compiled once per bucket). Latents at valid cells are
-    identical to the reference's unpadded forward (tested). Returns
-    (style, melody, rhythm, real_bar_count)."""
-    from mst_tpu.ops.device_raster import device_rasterize_song
+    dense bucket-padded raster is materialized on-chip and fed straight into
+    the latent extractor within the SAME jit dispatch (compiled once per
+    bucket). Latents at valid cells are identical to the reference's unpadded
+    forward (tested). Returns (style, melody, rhythm, real_bar_count)."""
+    from mst_tpu.ops.device_raster import concat_and_pad, encode_notes
 
     max_n_bars = 1000 // song.n_channels
     C = song.pitched.shape[0]
     R = min(song.pitched.shape[1], max_n_bars)
     Cb = _bucket(C, CHANNEL_BUCKETS)
     Rb = _bucket(R, BAR_BUCKETS)
+    T = song.info.n_beats
     rasterizer = Rasterizer(song.info)
 
-    p = device_rasterize_song(rasterizer, song.pitched_notes, True,
-                              n_channels=Cb, n_bars=Rb, valid_bars=R)[None]
+    def records(note_arrays, pitched, n_channels):
+        parts = [encode_notes(rasterizer, rasterizer.quantize(n, pitched), c,
+                              pitched, n_channels, Rb, valid_bars=R)
+                 for c, n in enumerate(note_arrays)]
+        dn = concat_and_pad(parts)
+        return tuple(jnp.asarray(a) for a in
+                     (dn.row, dn.note_idx, dn.acc, dn.duration, dn.velocity,
+                      dn.valid))
+
+    p_notes = records(song.pitched_notes, True, Cb)
     instf_pad = np.zeros((1, Cb, song.instruments_features.shape[-1]),
                          np.float32)
     instf_pad[0, :C] = song.instruments_features
     cmask = np.zeros((1, Cb), np.float32)
     cmask[0, :C] = 1.0
     lengths = np.full((1,), R, np.int32)
-    u = umask = None
     # parity: prepare_input passes percussion whenever present, even all-zero
     # (style_transfer.py:70-73; only the train loop drops silent percussion)
     has_unpitched = song.unpitched is not None
+    u_notes = umask = None
     if has_unpitched:
-        u = device_rasterize_song(rasterizer, song.unpitched_notes, False,
-                                  n_channels=1, n_bars=Rb, valid_bars=R)[None]
-        umask = np.ones((1, 1), np.float32)
+        u_notes = records(song.unpitched_notes, False, 1)
+        umask = jnp.ones((1, 1), jnp.float32)
+    else:
+        u_notes = tuple(jnp.zeros((0,)) for _ in range(6))
 
-    style, melody, rhythm = bundle.fn("extract")(
-        bundle.params, jnp.asarray(_mode_one_hot(song)),
-        jnp.asarray(np.array([song.info.bpm], np.float32)), p,
-        jnp.asarray(instf_pad), u,
-        bar_lengths=jnp.asarray(lengths), channel_mask=jnp.asarray(cmask),
-        uchannel_mask=None if umask is None else jnp.asarray(umask))
+    # one cached wrapper; jax.jit re-specializes per (static args, shapes)
+    style, melody, rhythm = bundle.fn("raster_extract")(
+        bundle.params, p_notes, u_notes,
+        jnp.asarray(_mode_one_hot(song)),
+        jnp.asarray(np.array([song.info.bpm], np.float32)),
+        jnp.asarray(instf_pad), jnp.asarray(lengths), jnp.asarray(cmask),
+        umask, Cb=Cb, Rb=Rb, T=T, has_unpitched=has_unpitched)
     return style, melody, rhythm, R
 
 
