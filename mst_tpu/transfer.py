@@ -479,6 +479,41 @@ def combine_info(style_info: SongInfo, melody_info: SongInfo) -> SongInfo:
                                scale=style_info.scale, duration=None)
 
 
+def transfer_and_evaluate(bundle: ModelBundle, composition_path, style_paths,
+                          output_path) -> dict:
+    """End-to-end transfer + rendered-audio spectral eval (BASELINE.json
+    configs[4]): run transfer_style, render every output natively, and score
+    each generated file's log-mel similarity against both its composition and
+    its style source. Returns {output_path: {"vs_composition": s,
+    "vs_style": s}} for the generated (non-original) files."""
+    from mst_tpu.audio import spectral_similarity_midi
+
+    written = transfer_style(bundle, composition_path, style_paths,
+                             output_path)
+    comp_data = load_midi_from_file(composition_path)
+    style_data = {os.path.splitext(os.path.basename(str(p)))[0]:
+                  load_midi_from_file(p) for p in style_paths}
+    from mst_tpu.exceptions import MidiFormatError
+
+    def score(a, b):
+        try:
+            return spectral_similarity_midi(a, b)
+        except MidiFormatError:  # a silent output renders no audio
+            return None
+
+    scores = {}
+    for path in written:
+        if os.sep + "original" + os.sep in path:
+            continue
+        data = load_midi_from_file(path)
+        entry = {"vs_composition": score(comp_data, data)}
+        for name, sdata in style_data.items():
+            if f"({name} style)" in os.path.basename(path):
+                entry["vs_style"] = score(sdata, data)
+        scores[path] = entry
+    return scores
+
+
 def transfer_style(bundle: ModelBundle, composition_path, style_paths,
                    output_path) -> List[str]:
     """Parity: style_transfer.py:22-54. Returns the written file paths."""

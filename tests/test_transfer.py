@@ -91,3 +91,18 @@ def test_original_save_roundtrip_stable(bundle, example_midis, tmp_path):
                   song.instruments, out)
     channels, info = read_midi(load_midi_from_file(out))
     assert any(c["channel_id"] == 9 for c in channels)  # drums preserved
+
+
+def test_transfer_and_evaluate(bundle, example_midis, tmp_path):
+    """End-to-end transfer + rendered-audio spectral scoring (the pod-run
+    eval, BASELINE configs[4])."""
+    from mst_tpu.transfer import transfer_and_evaluate
+    comp = _example("Welcome to the Jungle.2 (300 it).mid", example_midis)
+    style = _example("Angie.4.mid", example_midis)
+    scores = transfer_and_evaluate(bundle, comp, [style], tmp_path)
+    assert len(scores) == 2  # reconstructed + styled
+    for path, entry in scores.items():
+        s = entry["vs_composition"]
+        assert s is None or -1.0 <= s <= 1.0  # None: silent untrained output
+        if "style)" in path:
+            assert "vs_style" in entry
