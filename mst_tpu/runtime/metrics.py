@@ -9,13 +9,13 @@ optional jax profiler trace hook — the reference has no profiling at all
 from __future__ import annotations
 
 import contextlib
-import csv
 import math
-import os
 import time
 from typing import Dict, Optional
 
 from tqdm import tqdm
+
+from mst_tpu.utils.data import save_to_csv
 
 
 class EmaMeter:
@@ -77,22 +77,15 @@ class ProgressBar:
 
 
 class CsvLogger:
-    """Append-mode dict-row CSV with header-on-create
-    (parity: save_to_csv, utils/data.py:27-46)."""
+    """Append-mode dict-row CSV with header-on-create — a thin stateful
+    wrapper over mst_tpu.utils.data.save_to_csv (parity: train-model.py:143-144
+    feeding utils/data.py:27-46)."""
 
     def __init__(self, path: str):
         self.path = path
-        directory = os.path.dirname(path)
-        if directory:
-            os.makedirs(directory, exist_ok=True)
 
     def append(self, **row):
-        write_header = not os.path.isfile(self.path)
-        with open(self.path, "a", encoding="utf-8", newline="") as f:
-            writer = csv.DictWriter(f, list(row.keys()))
-            if write_header:
-                writer.writeheader()
-            writer.writerow(row)
+        save_to_csv(self.path, **row)
 
 
 def flatten_losses(losses, prefix: str = "") -> Dict[str, float]:

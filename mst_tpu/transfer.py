@@ -74,13 +74,18 @@ _HDR = 8  # [bpm, mode_idx, n_picked, has_unpitched, count_p, count_u, 0, 0]
 
 def _device_pick_instruments(logits, n_instruments, max_channels):
     """Top-n instrument selection on device (parity with the host argsort of
-    style_transfer.py:105-116; the reference's dead percussion-only special
-    case stays dead). Returns (picked category ids (max_channels,) padded -1,
-    n_picked, has_unpitched)."""
+    style_transfer.py:105-116, including the percussion-only escalation
+    :107-108: when n_instruments == 1 and the top pick is percussion, the
+    selection widens to top-2 so one pitched instrument survives — the
+    reference's `instruments[0] == [percussion_id]` comparison broadcasts to
+    a truthy array, so that branch IS live). Returns (picked category ids
+    (max_channels,) padded -1, n_picked, has_unpitched)."""
     from mst_tpu.data.taxonomy import PERCUSSION_ID
     order = jnp.argsort(-logits)                       # (41,)
     rank = jnp.arange(order.shape[0])
-    in_top = rank < n_instruments
+    percussion_only = (n_instruments == 1) & (order[0] == PERCUSSION_ID)
+    n_top = jnp.where(percussion_only, 2, n_instruments)
+    in_top = rank < n_top
     has_unpitched = jnp.any(in_top & (order == PERCUSSION_ID))
     keep = in_top & (order != PERCUSSION_ID)
     pos = jnp.nonzero(keep, size=max_channels, fill_value=order.shape[0])[0]
@@ -395,9 +400,8 @@ def apply_style(bundle: ModelBundle, info: SongInfo, style, melody, rhythm,
                 n_bars: Optional[int] = None) -> None:
     """Predict song info, pick top-k instruments, decode and save
     (parity: style_transfer.py:101-131 — incl. the predicted-mode scale
-    overwrite :118-122; the reference's always-false percussion-only special
-    case :107-108 stays behaviorally dead). ``n_bars``: real bar count when
-    the latents are bucket-padded.
+    overwrite :118-122 and the percussion-only top-2 escalation :107-108).
+    ``n_bars``: real bar count when the latents are bucket-padded.
 
     The entire device side (prediction, instrument pick, appliers, packing,
     sparse compaction) is ONE fused jit call returning one int32 buffer — a
@@ -415,6 +419,12 @@ def apply_style(bundle: ModelBundle, info: SongInfo, style, melody, rhythm,
         count_p, count_u = int(header[4]), int(header[5])
         if count_p <= capacity and count_u <= capacity // 4:
             break
+    else:
+        raise OverflowError(
+            f"style application produced {count_p} pitched / {count_u} "
+            f"unpitched notes, beyond the largest compaction capacity "
+            f"{COMPACT_CAPACITIES[-1]}; jnp.nonzero already dropped records "
+            f"on device, so decoding would silently lose notes")
 
     info.tempo = bpm2tempo(int(header[0]))
     info.scale = Scale(tonic=info.scale.tonic, is_minor=bool(header[1] == 1))

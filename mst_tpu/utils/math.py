@@ -22,10 +22,15 @@ def normalize_dist(dist):
 
 
 def round_number(number, precision=1):
-    """Round to a multiple of ``precision``; returns (rounded, signed error)
-    with exact halves rounding up (parity: utils/math.py:14-19)."""
-    remainder_pos = number % precision
-    remainder_neg = abs(remainder_pos - precision)
-    if remainder_pos < remainder_neg:
-        return number - remainder_pos, remainder_pos
-    return number + remainder_neg, -remainder_neg
+    """Round ``number`` to the nearest multiple of ``precision``.
+
+    Returns ``(rounded, error)`` with ``error == number - rounded`` (so the
+    error is positive when rounding down); exact halves round to the larger
+    multiple (behavioral spec: utils/math.py:14-19; the vectorized hot-path
+    twin is mst_tpu.ops.quantize.round_to_multiple)."""
+    offset = number % precision
+    if 2 * offset >= precision:  # at or past the midpoint: round up
+        rounded = number + (precision - offset)
+    else:
+        rounded = number - offset
+    return rounded, number - rounded

@@ -10,47 +10,54 @@ keeps the remaining small generic helpers.
 from __future__ import annotations
 
 import glob
-import itertools
+import operator
 import os
-from collections import defaultdict
 
 
 def freeze(obj):
-    """Hashable view of (nested) lists/sets (parity: utils/__init__.py:5-10)."""
-    if isinstance(obj, (list, tuple)):
-        return tuple(map(freeze, obj))
+    """Recursively hashable view of a value: lists/tuples become tuples of
+    frozen elements, sets become frozensets (behavioral spec:
+    utils/__init__.py:5-10 — used so container-valued group keys can be
+    dict keys)."""
     if isinstance(obj, set):
-        return frozenset(obj)
+        return frozenset(freeze(v) for v in obj)
+    if isinstance(obj, (list, tuple)):
+        return tuple(freeze(v) for v in obj)
     return obj
 
 
+def _key_getter(key, attr):
+    """Resolve group_by's key spec to a callable (or None for identity)."""
+    if callable(key):
+        return key
+    if key is not None:
+        return operator.itemgetter(key)
+    if attr is not None:
+        return operator.attrgetter(attr)
+    return None
+
+
 def group_by(data, key=None, attr=None, func=None, save_indices=False):
-    """Insertion-ordered grouping by key-callable/dict-key/attribute with an
-    optional per-group aggregation (parity: utils/__init__.py:13-33)."""
-    if not callable(key):
-        if key:
-            key_name = key
+    """Group ``data`` into an insertion-ordered ``{key: [items]}`` dict.
 
-            def key(x):
-                return x[key_name]
-        elif attr:
-            def key(x):
-                return getattr(x, attr)
-        else:
-            key = None
-
-    grouped = defaultdict(list)
-    for i, item in enumerate(data):
-        k = freeze(key(item)) if key is not None else item
-        grouped[k].append(i if save_indices else item)
-    if func:
-        return {k: func(v) for k, v in grouped.items()}
-    return dict(grouped)
+    ``key`` may be a callable, a mapping key, or (via ``attr``) an attribute
+    name; with neither, items group by their own value. ``save_indices``
+    collects positions instead of items; ``func`` aggregates each group
+    (behavioral spec: utils/__init__.py:13-33)."""
+    getter = _key_getter(key, attr)
+    groups: dict = {}
+    for index, item in enumerate(data):
+        k = item if getter is None else freeze(getter(item))
+        groups.setdefault(k, []).append(index if save_indices else item)
+    if func is not None:
+        return {k: func(members) for k, members in groups.items()}
+    return groups
 
 
 def flatten(items):
-    """Parity: utils/__init__.py:36-37."""
-    return list(itertools.chain(*items))
+    """Concatenate one level of nesting into a list
+    (behavioral spec: utils/__init__.py:36-37)."""
+    return [x for sub in items for x in sub]
 
 
 def dict_map(func, d, recursive=False):

@@ -60,6 +60,51 @@ def test_transfer_style_end_to_end(bundle, example_midis, tmp_path):
             assert "original" not in w
 
 
+def test_pick_instruments_percussion_only_escalates():
+    """n_instruments=1 with percussion on top widens to top-2 (the reference's
+    live broadcast-comparison branch, style_transfer.py:107-108): one pitched
+    channel must survive alongside the drums."""
+    from mst_tpu.transfer import _device_pick_instruments
+    from mst_tpu.data.taxonomy import PERCUSSION_ID
+    logits = jnp.zeros(41).at[PERCUSSION_ID].set(5.0).at[7].set(3.0)
+    picked, n_picked, has_unpitched = jax.jit(
+        _device_pick_instruments, static_argnums=(2,))(logits, 1, 8)
+    assert bool(has_unpitched)
+    assert int(n_picked) == 1
+    assert int(picked[0]) == 7
+    # n_instruments=2 with percussion NOT on top: no escalation
+    picked, n_picked, has_unpitched = jax.jit(
+        _device_pick_instruments, static_argnums=(2,))(
+            jnp.zeros(41).at[3].set(5.0).at[11].set(3.0), 2, 8)
+    assert not bool(has_unpitched)
+    assert int(n_picked) == 2
+    assert sorted([int(picked[0]), int(picked[1])]) == [3, 11]
+
+
+def test_apply_style_overflow_raises(bundle, example_midis, tmp_path):
+    """Note counts beyond the largest compaction capacity must raise, never
+    silently truncate the written .mid (VERDICT weak #4)."""
+    import mst_tpu.transfer as tr
+    comp = _example("Angie.4.mid", example_midis)
+    _, song = get_model_input(comp)
+    style_vec, melody, rhythm, n_bars = extract_style(bundle, song)
+    dense = ModelBundle(model=bundle.model, params=bundle.params)
+    # un-sparsify: push every velocity above threshold so every cell is a note
+    dense.params = jax.tree_util.tree_map(lambda x: x, bundle.params)
+    for name in ("pitched_style_applier", "unpitched_style_applier"):
+        layer = dense.params["params"][name]["linear"]
+        layer["bias"] = layer["bias"].at[1].set(5.0)
+    old = tr.COMPACT_CAPACITIES
+    tr.COMPACT_CAPACITIES = (256,)
+    try:
+        with pytest.raises(OverflowError):
+            apply_style(dense, song.info, style_vec, melody, rhythm,
+                        len(song.instruments), str(tmp_path / "x.mid"),
+                        n_bars=n_bars)
+    finally:
+        tr.COMPACT_CAPACITIES = old
+
+
 def test_extract_style_bucket_invariance(bundle, example_midis):
     """Latents are identical whichever bar bucket the song pads into."""
     import mst_tpu.transfer as tr
