@@ -30,6 +30,25 @@ from flax import linen as nn
 from mst_tpu.ops.shapes import masked_flip, masked_last
 
 
+_warned_fallbacks = set()
+
+
+def _warn_dense_fallback(t: int, n_shards: int) -> None:
+    """Surface (once per shape) that an active sequence-sharding request fell
+    back to the dense single-device recurrence — a 100-bar bucket under
+    --seq-parallel 8 would otherwise silently get no sharding."""
+    key = (t, n_shards)
+    if key not in _warned_fallbacks:
+        _warned_fallbacks.add(key)
+        import warnings
+        from mst_tpu.ops.seq_context import MIN_SEQ_LEN
+        warnings.warn(
+            f"sequence sharding requested but the time axis ({t}) is "
+            f"{'shorter than MIN_SEQ_LEN=%d' % MIN_SEQ_LEN if t < MIN_SEQ_LEN else 'not divisible by the shard count'} "
+            f"({n_shards} shards); running the dense single-device recurrence",
+            stacklevel=3)
+
+
 def _uniform_init(bound: float):
     def init(key, shape, dtype=jnp.float32):
         return jax.random.uniform(key, shape, dtype, -bound, bound)
@@ -75,6 +94,7 @@ def _lstm_scan(x, w_ih, w_hh, b, reverse: bool = False):
             from mst_tpu.parallel.seq_lstm import seq_sharded_scan
             return seq_sharded_scan(gates_x, w_hh, mesh, axis,
                                     reverse=reverse)
+        _warn_dense_fallback(t, n_shards)
 
     gates_x = jnp.swapaxes(gates_x, 0, 1)  # (T, N, 4H)
     if reverse:

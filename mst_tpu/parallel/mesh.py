@@ -1,4 +1,4 @@
-"""Device-mesh layer: data-parallel (and future sequence-parallel) training.
+"""Device-mesh layer: data-parallel and sequence-parallel training.
 
 The reference is strictly single-device (SURVEY.md §2.4: no torch.distributed,
 batch size 1). Here scaling is mesh-native JAX:
@@ -8,11 +8,14 @@ batch size 1). Here scaling is mesh-native JAX:
   NamedSharding; params/optimizer state are replicated;
 - the jitted train step then compiles with XLA inserting the gradient
   all-reduce (psum) over ICI — no hand-written collectives in the DP path;
+- the bar axis of the raster tensors is sharded over ``seq``: the model's LSTM
+  recurrences run the cond-gated ppermute pipeline in
+  :mod:`mst_tpu.parallel.seq_lstm` (wired in via
+  :mod:`mst_tpu.ops.seq_context`; forward and gradients are bit-compared to
+  the dense scan in tests/test_seq_parallel.py), so full-length songs train
+  without the reference's 800-bar truncation;
 - ``jax.distributed.initialize()`` (multi-host DCN) is the deployment story for
   pods; the same code path compiles unchanged.
-
-Sequence (bar-axis) sharding for full-length songs — ppermute-carried LSTM
-state — is the planned extension on the ``seq`` axis (SURVEY.md §2.4).
 """
 
 from __future__ import annotations

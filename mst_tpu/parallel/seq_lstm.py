@@ -62,20 +62,37 @@ def seq_sharded_scan(gates_x, w_hh, mesh: Mesh, seq_axis: str = "seq",
         zero = (varying(jnp.zeros((B, H), dtype)),
                 varying(jnp.zeros((B, H), dtype)))
         ys0 = varying(jnp.zeros((gates_x.shape[0], B, H), dtype))
+        # pcast the replicated weights to varying HERE, outside the cond-gated
+        # stages: the pcast transpose is a psum, and hoisting it means every
+        # device executes that collective at the same point. Left implicit
+        # inside the cond branch, only the active device would reach the psum
+        # and the backward pass deadlocks.
+        w_hh = varying(w_hh)
 
         # statically unrolled pipeline (n_shards is small and static): every
         # device executes the same linear sequence of collectives, which keeps
-        # forward AND transposed (backward) schedules deadlock-free
+        # forward AND transposed (backward) schedules deadlock-free. The local
+        # scan itself is gated behind lax.cond so each device runs its chunk's
+        # recurrence exactly ONCE (at its own stage) instead of at every stage
+        # — the collectives stay outside the cond, so the schedule is still
+        # identical across devices (the fori_loop variant that moved
+        # collectives inside data-dependent control flow deadlocked in the
+        # transpose).
+        def run_stage(carry):
+            return _local_scan(gates_x, w_hh, carry)
+
+        def idle_stage(carry):
+            return carry, ys0
+
         carry, ys = zero, ys0
         perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
         for s in range(n_shards):
             active = me == s
-            new_carry, new_ys = _local_scan(gates_x, w_hh, carry)
-            ys = jnp.where(active, new_ys, ys)
-            keep_h = jnp.where(active, new_carry[0], carry[0])
-            keep_c = jnp.where(active, new_carry[1], carry[1])
-            h = jax.lax.ppermute(keep_h, seq_axis, perm)
-            c = jax.lax.ppermute(keep_c, seq_axis, perm)
+            carry_out, stage_ys = jax.lax.cond(active, run_stage, idle_stage,
+                                               carry)
+            ys = jnp.where(active, stage_ys, ys)
+            h = jax.lax.ppermute(carry_out[0], seq_axis, perm)
+            c = jax.lax.ppermute(carry_out[1], seq_axis, perm)
             carry = (h, c)
         return jnp.swapaxes(ys, 0, 1)  # (B, T_l, H)
 

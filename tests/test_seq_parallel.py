@@ -86,3 +86,30 @@ def test_model_train_step_dp_x_sp():
     b = jax.tree_util.tree_leaves(s2.accum_grads)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                                atol=1e-5)
+
+
+def test_dense_fallback_warns_once():
+    """An active sequence-sharding request that cannot shard (indivisible or
+    short time axis) must surface a warning instead of silently running
+    dense."""
+    import warnings
+
+    import jax
+
+    from mst_tpu.ops import lstm as lstm_mod
+    from mst_tpu.ops.seq_context import sequence_sharding
+    from mst_tpu.parallel import create_mesh
+
+    mesh = create_mesh(n_data=1, n_seq=4, devices=jax.devices()[:4])
+    x = jnp.zeros((1, 37, 4))  # 37 % 4 != 0 -> dense fallback
+    w_ih = jnp.zeros((4, 32))
+    w_hh = jnp.zeros((8, 32))
+    b = jnp.zeros((32,))
+    lstm_mod._warned_fallbacks.clear()
+    with sequence_sharding(mesh):
+        with pytest.warns(UserWarning, match="dense single-device"):
+            lstm_mod._lstm_scan(x, w_ih, w_hh, b)
+        # second occurrence of the same shape: no repeat warning
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            lstm_mod._lstm_scan(x, w_ih, w_hh, b)
