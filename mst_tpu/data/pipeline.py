@@ -43,6 +43,7 @@ class Song:
     pitched_notes: Optional[List[NoteArray]] = None
     unpitched_notes: Optional[List[NoteArray]] = None
     path: Optional[str] = None
+    cursor: Optional[int] = None  # resume position in the corpus stream
 
     @property
     def n_channels(self) -> int:
@@ -54,15 +55,25 @@ class Song:
 
 
 def iter_all_midis(files: Sequence, shuffle: bool = False, looped: bool = False,
-                   rng: Optional[np.random.Generator] = None):
-    """Defensive corpus iteration (parity: style/data.py:34-48)."""
+                   rng: Optional[np.random.Generator] = None,
+                   start_at: int = 0):
+    """Defensive corpus iteration (parity: style/data.py:34-48).
+
+    Yields ``(attempt_index, file, channels, info)``. The stream is
+    deterministic for a given seed (one shuffle up front, the same order every
+    epoch), so ``start_at`` resumes it exactly: the first ``start_at`` file
+    attempts are skipped without even opening them."""
     rng = rng or np.random.default_rng()
     files = list(files)
     if shuffle:
-        files = files[:]
         rng.shuffle(files)
+    attempt = 0
     while True:
         for file in files:
+            index = attempt
+            attempt += 1
+            if index < start_at:
+                continue
             mid = load_midi_from_file(file)
             if mid is None:
                 continue
@@ -70,7 +81,7 @@ def iter_all_midis(files: Sequence, shuffle: bool = False, looped: bool = False,
                 channels, info = read_midi(mid)
             except MidiFormatError:
                 continue
-            yield file, channels, info
+            yield index, file, channels, info
         if not looped:
             return
 
@@ -80,7 +91,7 @@ def iter_inputs(files: Sequence, instruments: Sequence[int] = INCLUDED_INSTRUMEN
     """Filter channels to the modeled instruments and assemble songs
     (parity: style/data.py:51-63)."""
     allowed = set([-1, *instruments])
-    for filename, channels, info in iter_all_midis(files, **kwargs):
+    for index, filename, channels, info in iter_all_midis(files, **kwargs):
         channels = [
             c for c in channels
             if c["instrument_id"] in allowed and len(c["messages"]) >= min_n_messages
@@ -92,6 +103,7 @@ def iter_inputs(files: Sequence, instruments: Sequence[int] = INCLUDED_INSTRUMEN
         except MidiFormatError:
             continue
         song.path = filename
+        song.cursor = index + 1  # resuming from here replays the next attempt
         yield filename, song
 
 

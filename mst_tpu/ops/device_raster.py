@@ -178,6 +178,47 @@ def device_rasterize_song(rasterizer: Rasterizer, note_arrays, pitched: bool,
     return flat.reshape(n_channels, n_bars, T, F10, n_notes, n_feat)
 
 
+def device_rasterize_batch(rasterizers, note_arrays_per_song, pitched: bool,
+                           n_channels: int, n_bars: int,
+                           valid_bars, use_pallas: Optional[bool] = None
+                           ) -> jnp.ndarray:
+    """Batched device rasterization: B songs' channels in ONE scatter dispatch.
+
+    Each song keeps its own Rasterizer (its own tick grid / scale); batch index
+    b folds into the flattened cell row as ``b * n_channels + c`` leading
+    channel blocks, so a single (B*C*R*T*F10)-row scatter materializes the
+    whole (B, C, R, T, F10, N, F) batch on device. All songs must share the
+    beats-per-bar count (the batch tensor has one T axis; the caller groups by
+    time signature). ``valid_bars``: per-song bar caps.
+    """
+    B = len(rasterizers)
+    T = rasterizers[0].info.n_beats
+    assert all(r.info.n_beats == T for r in rasterizers), \
+        "batched songs must share beats-per-bar"
+    F10 = rasterizers[0].grid.n_fractions
+    n_notes = rasterizers[0].n_notes(pitched)
+    n_feat = rasterizers[0].n_features(pitched)
+    parts = []
+    for b, (rast, note_arrays) in enumerate(zip(rasterizers,
+                                                note_arrays_per_song)):
+        for c, notes in enumerate(note_arrays[:n_channels]):
+            q = rast.quantize(notes, pitched)
+            parts.append(encode_notes(rast, q, b * n_channels + c, pitched,
+                                      B * n_channels, n_bars, valid_bars[b]))
+    dn = concat_and_pad(parts)
+    n_rows = B * n_channels * n_bars * T * F10
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from mst_tpu.ops.pallas_raster import pallas_rasterize
+        flat = pallas_rasterize(dn, n_rows, n_notes, n_feat)
+    else:
+        flat = _jit_segment(dn.row, dn.note_idx, dn.acc, dn.duration,
+                            dn.velocity, dn.valid, n_rows, n_notes, n_feat)
+    return flat.reshape(B, n_channels, n_bars, T, F10, n_notes, n_feat)
+
+
 from functools import partial
 
 

@@ -214,42 +214,74 @@ def device_batch_from_song(song: Song, max_channels: int, max_bars: int,
     DEVICE from the song's SoA notes (mst_tpu.ops.device_raster) — per step
     only ~KBs of note records cross host->HBM instead of the padded tensor
     (tens of MB). Masks/labels identical to pad_batch."""
-    from mst_tpu.ops.device_raster import device_rasterize_song
-    from mst_tpu.ops.rasterize import Rasterizer
-
     if song.pitched.sum() == 0:
         return None
-    rasterizer = Rasterizer(song.info)
-    C = min(song.pitched.shape[0], max_channels)
-    R = min(song.pitched.shape[1], max_bars)
-    if bar_cap is not None:
-        R = min(R, bar_cap)
-    pitched = device_rasterize_song(
-        rasterizer, song.pitched_notes[:C], True, n_channels=max_channels,
-        n_bars=max_bars, valid_bars=R, use_pallas=use_pallas)[None]
-    has_unpitched = song.unpitched is not None and song.unpitched.sum() > 0
-    unpitched = None
-    if has_unpitched:
-        unpitched = device_rasterize_song(
-            rasterizer, song.unpitched_notes, False, n_channels=1,
-            n_bars=max_bars, valid_bars=R, use_pallas=use_pallas)[None]
+    return device_batch_from_songs([song], max_channels, max_bars,
+                                   bar_cap=bar_cap, use_pallas=use_pallas)
 
-    instf = np.zeros((1, max_channels, 51), np.float32)
-    instf[0, :C] = song.instruments_features[:C]
-    cmask = np.zeros((1, max_channels), np.float32)
-    cmask[0, :C] = 1.0
-    is_minor = song.info.scale.is_minor
-    mode = np.array([[0.0, 1.0]] if is_minor else [[1.0, 0.0]], np.float32)
-    used = get_used_instruments(song.instruments_features[None, :C],
-                                has_unpitched)
+
+def device_batch_from_songs(songs, max_channels: int, max_bars: int,
+                            bar_cap=None, max_uchannels: int = 1,
+                            use_pallas: Optional[bool] = None) -> Batch:
+    """Collate N songs into one fixed-shape Batch whose dense rasters are
+    materialized ON DEVICE (one scatter dispatch per note family for the whole
+    batch) — the data-parallel path ships ~KBs of note records per song
+    instead of pad_batch's dense host tensors (tens of MB each) over the
+    host->HBM link. Masks/labels identical to pad_batch; songs must share
+    beats-per-bar (the caller groups by time signature)."""
+    from mst_tpu.ops.device_raster import device_rasterize_batch
+    from mst_tpu.ops.rasterize import Rasterizer
+
+    B = len(songs)
+    if bar_cap is None or isinstance(bar_cap, int):
+        bar_caps = [bar_cap] * B
+    else:
+        bar_caps = list(bar_cap)
+    rasterizers = [Rasterizer(s.info) for s in songs]
+    valid_bars = []
+    channel_counts = []
+    for i, song in enumerate(songs):
+        R = min(song.pitched.shape[1], max_bars)
+        if bar_caps[i] is not None:
+            R = min(R, bar_caps[i])
+        valid_bars.append(R)
+        channel_counts.append(min(song.pitched.shape[0], max_channels))
+
+    pitched = device_rasterize_batch(
+        rasterizers, [s.pitched_notes[:c] for s, c in
+                      zip(songs, channel_counts)],
+        True, max_channels, max_bars, valid_bars, use_pallas=use_pallas)
+    has_u = [s.unpitched is not None and s.unpitched.sum() > 0 for s in songs]
+    unpitched = None
+    if any(has_u):
+        unpitched = device_rasterize_batch(
+            rasterizers, [(s.unpitched_notes[:max_uchannels] if h else [])
+                          for s, h in zip(songs, has_u)],
+            False, max_uchannels, max_bars, valid_bars, use_pallas=use_pallas)
+
+    instf = np.zeros((B, max_channels, 51), np.float32)
+    cmask = np.zeros((B, max_channels), np.float32)
+    umask = np.zeros((B, max_uchannels), np.float32)
+    mode = np.zeros((B, 2), np.float32)
+    bpm = np.zeros((B,), np.float32)
+    used = np.zeros((B, 41), np.float32)
+    for i, song in enumerate(songs):
+        C = channel_counts[i]
+        instf[i, :C] = song.instruments_features[:C]
+        cmask[i, :C] = 1.0
+        if has_u[i]:
+            umask[i, :min(len(song.unpitched_notes), max_uchannels)] = 1.0
+        mode[i] = [0.0, 1.0] if song.info.scale.is_minor else [1.0, 0.0]
+        bpm[i] = song.info.bpm
+        used[i] = get_used_instruments(
+            song.instruments_features[None, :C], has_u[i])[0]
     return Batch(
-        mode=jnp.asarray(mode),
-        bpm=jnp.asarray(np.array([song.info.bpm], np.float32)),
+        mode=jnp.asarray(mode), bpm=jnp.asarray(bpm),
         pitched=pitched, instruments_features=jnp.asarray(instf),
         unpitched=unpitched, used_instruments=jnp.asarray(used),
-        bar_lengths=jnp.asarray(np.array([R], np.int32)),
+        bar_lengths=jnp.asarray(np.asarray(valid_bars, np.int32)),
         channel_mask=jnp.asarray(cmask),
-        uchannel_mask=jnp.ones((1, 1), jnp.float32) if has_unpitched else None,
+        uchannel_mask=jnp.asarray(umask) if any(has_u) else None,
     )
 
 

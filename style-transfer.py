@@ -44,22 +44,12 @@ def main():
             jnp.zeros((1, 1, 51)).at[0, 0, 0].set(1.0),
             jnp.zeros((1, 1, 4, 4, 10, 47, 2)))
     if args.snapshots:
-        from mst_tpu.config import Config
-        from mst_tpu.runtime.checkpoint import CheckpointManager
-        from mst_tpu.runtime.train import TrainState
-        mgr = CheckpointManager(args.snapshots)
-        step = mgr.latest_step()
-        if step is None:
+        from mst_tpu.runtime.checkpoint import load_trained_params
+        trained, step = load_trained_params(model, args.snapshots,
+                                            seed=args.seed)
+        if trained is None:
             raise SystemExit(f"no snapshots under {args.snapshots}")
-        # build a state template with the same param tree, then restore
-        import mst_tpu.runtime.train as tr
-        template = tr.TrainState(
-            params=params,
-            opt_state=tr.make_optimizer(Config()).init(params),
-            accum_grads=jax.tree_util.tree_map(jnp.zeros_like, params),
-            micro_step=jnp.zeros((), jnp.int32),
-            opt_step=jnp.zeros((), jnp.int32))
-        params = mgr.restore(template).params
+        params = trained
         print(f"loaded snapshot {step} from {args.snapshots}")
     params = jax.device_put(params, jax.devices()[0])
 

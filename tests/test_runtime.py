@@ -123,3 +123,42 @@ def test_score_scales_matches_detection():
     got = detect_scale(dist)
     assert best["key"] == got.key_name
     assert (best["mode"] == "minor") == got.is_minor
+
+
+def test_resume_cursor_replays_exact_song_sequence(example_midis, tmp_path):
+    """--resume continues the corpus stream where the checkpoint left off:
+    starting a fresh iterator at a consumed song's cursor yields exactly the
+    songs an uninterrupted run would have seen next (VERDICT weak #7)."""
+    from mst_tpu.data.pipeline import iter_inputs
+
+    files = [str(p) for p in example_midis[:6]]
+
+    def take(n, start_at=0):
+        it = iter_inputs(files, shuffle=True, looped=True,
+                         rng=np.random.default_rng(7), start_at=start_at)
+        return [(f, s.cursor) for f, (_, s) in
+                ((f_s[0], f_s) for f_s in (next(it) for _ in range(n)))]
+
+    full = take(6)
+    cursor_after_third = full[2][1]
+    resumed = take(3, start_at=cursor_after_third)
+    assert [f for f, _ in resumed] == [f for f, _ in full[3:6]]
+    assert [c for _, c in resumed] == [c for _, c in full[3:6]]
+
+
+def test_checkpoint_cursor_roundtrip(tmp_path):
+    from mst_tpu.config import Config
+    from mst_tpu.models import StyleTransferModel
+    from mst_tpu.runtime.checkpoint import CheckpointManager
+    from mst_tpu.runtime.train import create_train_state
+    from tests.test_train_parallel import _tiny_batch
+
+    config = Config()
+    model = StyleTransferModel(config=config.model)
+    state = create_train_state(model, config, _tiny_batch(),
+                               jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path / "snap"))
+    mgr.save(4, state, cursor=123)
+    assert mgr.load_cursor(4) == 123
+    assert mgr.load_cursor(99) is None
+    mgr.close()

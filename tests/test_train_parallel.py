@@ -136,3 +136,30 @@ def test_device_batch_matches_pad_batch(example_midis):
     if a.unpitched is not None or b.unpitched is not None:
         np.testing.assert_array_equal(np.asarray(a.unpitched),
                                       np.asarray(b.unpitched))
+
+
+def test_device_batch_matches_pad_batch_multisong(example_midis):
+    """B>1 device-rasterized batch == host pad_batch: per-song bar caps,
+    channel truncation, masks, and mixed unpitched presence (VERDICT #4)."""
+    from mst_tpu.io import load_midi_from_file
+    from mst_tpu.ops.events import read_midi
+    from mst_tpu.data.pipeline import get_input
+    from mst_tpu.runtime.train import device_batch_from_songs, pad_batch
+
+    names = ["Angie.4.mid", "Sweet Dreams.mid", "Equinox Part 4.mid"]
+    songs = []
+    for name in names:
+        path = [p for p in example_midis if p.name == name][0]
+        channels, info = read_midi(load_midi_from_file(path))
+        songs.append(get_input(channels, info))
+    caps = [50, 30, 64]
+    a = device_batch_from_songs(songs, 8, 64, bar_cap=caps, use_pallas=False)
+    b = pad_batch(songs, 8, 64, bar_cap=caps)
+    for field in ("pitched", "unpitched", "instruments_features",
+                  "channel_mask", "uchannel_mask", "bar_lengths",
+                  "used_instruments", "mode", "bpm"):
+        x, y = getattr(a, field), getattr(b, field)
+        if x is None and y is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=field)

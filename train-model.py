@@ -75,11 +75,6 @@ def main():
     model = StyleTransferModel(config=config.model)
     rng = jax.random.PRNGKey(config.train.seed)
 
-    songs = iter_inputs(files, shuffle=True, looped=True,
-                        min_n_messages=config.train.min_n_messages,
-                        rng=np.random.default_rng(config.train.seed))
-    songs = prefetch_iterator(songs, depth=config.train.prefetch_depth)
-
     print("Training")
     logger = CsvLogger(args.csv)
     checkpoints = CheckpointManager(args.snapshots)
@@ -88,11 +83,19 @@ def main():
     step_fns = {}
 
     start_iteration = 0
+    resume_cursor = 0
     if args.resume:
         latest = checkpoints.latest_step()
         if latest is not None:
             start_iteration = latest + 1
-            print(f"Resuming from snapshot {latest}")
+            resume_cursor = checkpoints.load_cursor(latest) or 0
+            print(f"Resuming from snapshot {latest} "
+                  f"(data cursor {resume_cursor})")
+
+    songs = iter_inputs(files, shuffle=True, looped=True,
+                        min_n_messages=config.train.min_n_messages,
+                        rng=np.random.default_rng(config.train.seed),
+                        start_at=resume_cursor)
 
     mesh = None
     if (args.batch_size > 1 or args.seq_parallel > 1) and \
@@ -101,38 +104,57 @@ def main():
         mesh = create_mesh(n_seq=args.seq_parallel)
         print(f"Device mesh: {dict(mesh.shape)}")
 
-    def next_batch():
-        """One training batch: a single song (reference behavior) or a padded
-        fixed-shape batch of several, sharded over the mesh if present."""
+    def batch_stream():
+        """Yield (data_cursor, batch): a single song (reference behavior) or a
+        padded fixed-shape batch of several, sharded over the mesh if present.
+        Runs on the prefetch thread, so host parsing AND the host->HBM
+        transfer of the next batch overlap the current device step (double
+        buffering — jax transfers are dispatched asynchronously)."""
         from mst_tpu.runtime.train import pad_batch
-        if args.batch_size == 1:
-            filename, song = next(songs)
-            max_n_bars = config.train.max_total_bars // song.n_channels
-            if args.exact_shapes:
-                return batch_from_song(song, max_n_bars)
-            Cb = bucket_shape(song.n_channels, config.train.channel_buckets)
-            Rb = bucket_shape(min(song.n_bars, max_n_bars),
-                              config.train.bar_buckets)
-            return device_batch_from_song(song, Cb, Rb, bar_cap=max_n_bars)
-        group, caps = [], []
-        while len(group) < args.batch_size:
-            _, song = next(songs)
-            if song.pitched.sum() == 0:
+        while True:
+            if args.batch_size == 1:
+                filename, song = next(songs)
+                max_n_bars = config.train.max_total_bars // song.n_channels
+                if args.exact_shapes:
+                    yield song.cursor, batch_from_song(song, max_n_bars)
+                    continue
+                Cb = bucket_shape(song.n_channels,
+                                  config.train.channel_buckets)
+                Rb = bucket_shape(min(song.n_bars, max_n_bars),
+                                  config.train.bar_buckets)
+                yield song.cursor, device_batch_from_song(
+                    song, Cb, Rb, bar_cap=max_n_bars)
                 continue
-            group.append(song)
-            caps.append(config.train.max_total_bars // song.n_channels)
-        Cb = bucket_shape(max(s.n_channels for s in group),
-                          config.train.channel_buckets)
-        Rb = bucket_shape(max(min(s.n_bars, c) for s, c in zip(group, caps)),
-                          config.train.bar_buckets)
-        batch = pad_batch(group, Cb, Rb, bar_cap=caps)
-        if mesh is not None:
-            from mst_tpu.parallel import shard_batch
-            batch = shard_batch(batch, mesh, seq=args.seq_parallel > 1)
-        return batch
+            group, caps = [], []
+            while len(group) < args.batch_size:
+                _, song = next(songs)
+                if song.pitched.sum() == 0:
+                    continue
+                if group and song.pitched.shape[2] != \
+                        group[0].pitched.shape[2]:
+                    continue  # batch tensors share one beats-per-bar axis
+                group.append(song)
+                caps.append(config.train.max_total_bars // song.n_channels)
+            Cb = bucket_shape(max(s.n_channels for s in group),
+                              config.train.channel_buckets)
+            Rb = bucket_shape(max(min(s.n_bars, c)
+                                  for s, c in zip(group, caps)),
+                              config.train.bar_buckets)
+            if args.exact_shapes:
+                batch = pad_batch(group, Cb, Rb, bar_cap=caps)
+            else:
+                from mst_tpu.runtime.train import device_batch_from_songs
+                batch = device_batch_from_songs(group, Cb, Rb, bar_cap=caps)
+            if mesh is not None:
+                from mst_tpu.parallel import shard_batch
+                batch = shard_batch(batch, mesh, seq=args.seq_parallel > 1)
+            yield group[-1].cursor, batch
 
+    batches = prefetch_iterator(batch_stream(),
+                                depth=config.train.prefetch_depth)
+    data_cursor = resume_cursor
     for iteration in range(start_iteration, config.train.n_iterations):
-        batch = next_batch()
+        data_cursor, batch = next(batches)
         if batch is None:
             continue
         has_unpitched = batch.unpitched is not None
@@ -158,7 +180,7 @@ def main():
             pitched_notes_loss=float(losses.pitched_notes),
             song_info_loss=float(losses.song_info_total),
             instruments_loss=float(losses.instruments),
-            channelss_loss=float(losses.channels_total),
+            channels_loss=float(losses.channels_total),
             mode_loss=float(losses.mode),
             bpm_loss=float(losses.bpm),
         )
@@ -170,7 +192,7 @@ def main():
         logger.append(iteration=iteration, **flatten_losses(losses))
 
         if iteration % config.train.save_interval == 0:
-            checkpoints.save(iteration, state)
+            checkpoints.save(iteration, state, cursor=data_cursor)
 
     pbar.close()
     checkpoints.close()
