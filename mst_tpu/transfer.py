@@ -94,12 +94,13 @@ def _device_pick_instruments(logits, n_instruments, max_channels):
     return picked, n_picked, has_unpitched
 
 
-def _compact_flat(dur, vel, acc, n_channels, n_bars, capacity):
-    """Nonzero-velocity compaction of one packed raster into a flat uint32
-    record block: per note [cell_index, dur<<16 | vel<<8 | acc] — 8 bytes."""
+def _compact_song(dur, vel, acc, n_channels, n_bars, capacity):
+    """Nonzero-velocity compaction of one song's packed raster
+    ((C, R, T, F10, N) arrays) into a flat uint32 record block: per note
+    [cell_index, dur<<16 | vel<<8 | acc] — 8 bytes."""
     shape = vel.shape
-    c_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    r_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     valid = (c_idx < n_channels) & (r_idx < n_bars)
     vel = jnp.where(valid, vel, 0)
     flat = vel.reshape(-1)
@@ -113,45 +114,60 @@ def _compact_flat(dur, vel, acc, n_channels, n_bars, capacity):
 
 
 def _fused_transfer_apply(model, feature_table, params, style, melody, rhythm,
-                          n_instruments, n_bars, tpb, *, capacity,
-                          max_channels):
-    """ONE device program for the whole style application: song-info
-    prediction, on-device instrument pick + feature gather, both appliers,
-    packing, and sparse compaction — results flattened into a single int32
-    buffer so the host pays exactly one jit dispatch and one fetch.
+                          style_idx, comp_idx, n_instruments, bar_lengths,
+                          tpb, *, capacity, max_channels):
+    """ONE device program for the whole style application of a BATCH of B
+    jobs: latent gathers, song-info prediction, on-device instrument pick +
+    feature gather, both appliers, packing, and sparse compaction — results
+    flattened into a single (B, bufsize) uint32 buffer so the host pays
+    exactly one jit dispatch and one fetch for all B jobs.
 
-    Buffer layout (uint32): [header(8) | picked(max_channels) |
+    Each job b pairs ``style[style_idx[b]]`` with the composition latents
+    ``melody[comp_idx[b]]``/``rhythm[comp_idx[b]]`` (gathered ON DEVICE — the
+    style-transfer cross product never materializes host-side slices).
+    ``n_instruments`` (B,) int32; ``bar_lengths`` (B,) per-job real bar
+    counts; ``tpb`` (B,) float32 ticks-per-beat.
+
+    Per-job buffer layout (uint32): [header(8) | picked(max_channels) |
     pitched records (capacity*2) | unpitched records ((capacity//4)*2)].
     """
+    style = style[style_idx]
+    melody = melody[comp_idx]
+    rhythm = rhythm[comp_idx]
+    B = style.shape[0]
     inst_logits, mode_pred, bpm_pred = model.apply(
-        params, style, rhythm,
-        bar_lengths=jnp.full((style.shape[0],), n_bars, jnp.int32),
+        params, style, rhythm, bar_lengths=bar_lengths,
         method=StyleTransferModel.predict_song_info)
-    picked, n_picked, has_unpitched = _device_pick_instruments(
-        inst_logits[0], n_instruments, max_channels)
-    instf = jnp.where((picked >= 0)[:, None],
-                      feature_table[jnp.maximum(picked, 0)], 0.0)[None]
+    picked, n_picked, has_unpitched = jax.vmap(
+        lambda lg, n: _device_pick_instruments(lg, n, max_channels))(
+            inst_logits, n_instruments)
+    instf = jnp.where((picked >= 0)[..., None],
+                      feature_table[jnp.maximum(picked, 0)], 0.0)  # (B, C, 51)
 
     x_p, x_u = model.apply(params, style, melody, rhythm, instf, True,
                            method=StyleTransferModel.apply_style)
-    dur_p, vel_p, acc_p = _pack_output(x_p, tpb)
-    dur_u, vel_u, acc_u = _pack_output(x_u, tpb)
-    count_p, rec_p = _compact_flat(dur_p, vel_p, acc_p, n_picked, n_bars,
-                                   capacity)
+    tpb_b = tpb.reshape((B,) + (1,) * 5)
+    dur_p, vel_p, acc_p = _pack_output(x_p, tpb_b)
+    dur_u, vel_u, acc_u = _pack_output(x_u, tpb_b)
+    count_p, rec_p = jax.vmap(
+        lambda d, v, a, nc, nb: _compact_song(d, v, a, nc, nb, capacity))(
+            dur_p, vel_p, acc_p, n_picked, bar_lengths)
     cap_u = capacity // 4
-    count_u, rec_u = _compact_flat(
-        dur_u, vel_u, acc_u, jnp.where(has_unpitched, 1, 0), n_bars, cap_u)
+    count_u, rec_u = jax.vmap(
+        lambda d, v, a, nc, nb: _compact_song(d, v, a, nc, nb, cap_u))(
+            dur_u, vel_u, acc_u, jnp.where(has_unpitched, 1, 0), bar_lengths)
 
     header = jnp.stack([
-        jnp.round(bpm_pred[0]).astype(jnp.uint32),
-        jnp.argmax(mode_pred[0]).astype(jnp.uint32),
+        jnp.round(bpm_pred).astype(jnp.uint32),
+        jnp.argmax(mode_pred, axis=-1).astype(jnp.uint32),
         n_picked.astype(jnp.uint32),
         has_unpitched.astype(jnp.uint32),
         count_p, count_u,
-        jnp.uint32(0), jnp.uint32(0)])
+        jnp.zeros((B,), jnp.uint32), jnp.zeros((B,), jnp.uint32)], axis=1)
     # picked may contain -1 padding: transported as uint32, viewed back signed
     return jnp.concatenate([header, picked.astype(jnp.uint32),
-                            rec_p.reshape(-1), rec_u.reshape(-1)])
+                            rec_p.reshape(B, -1), rec_u.reshape(B, -1)],
+                           axis=1)
 
 
 # Shape buckets: channel/bar counts are padded up to these so jit compiles
@@ -190,20 +206,20 @@ class ModelBundle:
                                             static_argnames=("unpitched",))
             elif key.startswith("raster_extract"):
                 # one dispatch: on-device rasterization of both note families
-                # + the latent extractor (shapes keyed by the cache key)
+                # + the latent extractor, for a whole batch of B songs
                 from mst_tpu.ops.device_raster import segment_rasterize
 
                 def raster_extract(params, p_notes, u_notes, mode, bpm, instf,
-                                   lengths, cmask, umask, *, Cb, Rb, T,
+                                   lengths, cmask, umask, *, B, Cb, Rb, T,
                                    has_unpitched):
-                    n_rows_p = Cb * Rb * T * 10
+                    n_rows_p = B * Cb * Rb * T * 10
                     flat_p = segment_rasterize(*p_notes, n_rows_p, 56, 5)
-                    pitched = flat_p.reshape(1, Cb, Rb, T, 10, 56, 5)
+                    pitched = flat_p.reshape(B, Cb, Rb, T, 10, 56, 5)
                     unpitched = None
                     if has_unpitched:
-                        n_rows_u = Rb * T * 10
+                        n_rows_u = B * Rb * T * 10
                         flat_u = segment_rasterize(*u_notes, n_rows_u, 47, 2)
-                        unpitched = flat_u.reshape(1, 1, Rb, T, 10, 47, 2)
+                        unpitched = flat_u.reshape(B, 1, Rb, T, 10, 47, 2)
                     return self.model.apply(
                         params, mode, bpm, pitched, instf, unpitched,
                         bar_lengths=lengths, channel_mask=cmask,
@@ -212,7 +228,7 @@ class ModelBundle:
 
                 self._jitted[key] = jax.jit(
                     raster_extract,
-                    static_argnames=("Cb", "Rb", "T", "has_unpitched"))
+                    static_argnames=("B", "Cb", "Rb", "T", "has_unpitched"))
             elif key.startswith("fused"):
                 _, cap, cb = key.split(":")
                 from mst_tpu.data.taxonomy import category_feature_table
@@ -244,6 +260,19 @@ def get_model_input(path) -> Optional[Tuple[str, Song]]:
     return str(path), song
 
 
+@dataclasses.dataclass
+class LatentBatch:
+    """Batched latents for B songs sharing one (Cb, Rb, T) bucket. Kept as
+    whole device arrays — per-song host slicing would cost an eager dispatch
+    per slice over the remote link; downstream gathers happen inside the
+    fused apply program instead."""
+
+    style: jnp.ndarray    # (B, S)
+    melody: jnp.ndarray   # (B, Rb, T, 10, 56, melody_size)
+    rhythm: jnp.ndarray   # (B, Rb, T, 10, rhythm_size)
+    n_bars: List[int]     # per-song real bar count
+
+
 def extract_style(bundle: ModelBundle, song: Song):
     """Parity: style_transfer.py:67-74 (max_n_bars = 1000 // n_channels).
 
@@ -252,50 +281,97 @@ def extract_style(bundle: ModelBundle, song: Song):
     the latent extractor within the SAME jit dispatch (compiled once per
     bucket). Latents at valid cells are identical to the reference's unpadded
     forward (tested). Returns (style, melody, rhythm, real_bar_count)."""
+    batch = _extract_group(bundle, [song], song.info.n_beats,
+                           song.unpitched is not None)
+    return batch.style, batch.melody, batch.rhythm, batch.n_bars[0]
+
+
+def extract_styles(bundle: ModelBundle, songs: Sequence[Song]):
+    """Batched latent extraction: songs are grouped by (beats-per-bar,
+    percussion presence), each group bucket-padded and run as ONE on-device
+    rasterization + extraction dispatch. Returns (batches, locators): a list
+    of LatentBatch plus, per input song, its (batch_index, row) locator."""
+    group_keys = {}
+    group_members = []
+    locators = [None] * len(songs)
+    for i, song in enumerate(songs):
+        key = (song.info.n_beats, song.unpitched is not None)
+        if key not in group_keys:
+            group_keys[key] = len(group_members)
+            group_members.append([])
+        group_members[group_keys[key]].append(i)
+    batches = []
+    for key, members in zip(group_keys, group_members):
+        T, has_unpitched = key
+        batch = _extract_group(bundle, [songs[i] for i in members], T,
+                               has_unpitched)
+        for row, i in enumerate(members):
+            locators[i] = (len(batches), row)
+        batches.append(batch)
+    return batches, locators
+
+
+def _extract_group(bundle: ModelBundle, songs: Sequence[Song], T: int,
+                   has_unpitched: bool) -> LatentBatch:
+    """One extraction dispatch for B songs sharing beats-per-bar ``T`` and
+    percussion presence: every song's quantized note records are offset into
+    one flat row space (song b = channel block b*Cb..), so a single on-device
+    scatter materializes the whole (B, Cb, Rb, ...) raster batch feeding the
+    extractor."""
     from mst_tpu.ops.device_raster import concat_and_pad, encode_notes
 
-    max_n_bars = 1000 // song.n_channels
-    C = song.pitched.shape[0]
-    R = min(song.pitched.shape[1], max_n_bars)
-    Cb = _bucket(C, CHANNEL_BUCKETS)
-    Rb = _bucket(R, BAR_BUCKETS)
-    T = song.info.n_beats
-    rasterizer = Rasterizer(song.info)
+    B = len(songs)
+    caps = [1000 // s.n_channels for s in songs]
+    Cs = [s.pitched.shape[0] for s in songs]
+    Rs = [min(s.pitched.shape[1], cap) for s, cap in zip(songs, caps)]
+    Cb = _bucket(max(Cs), CHANNEL_BUCKETS)
+    Rb = _bucket(max(Rs), BAR_BUCKETS)
 
-    def records(note_arrays, pitched, n_channels):
-        parts = [encode_notes(rasterizer, rasterizer.quantize(n, pitched), c,
-                              pitched, n_channels, Rb, valid_bars=R)
-                 for c, n in enumerate(note_arrays)]
+    def records(pitched):
+        parts = []
+        for b, song in enumerate(songs):
+            rasterizer = Rasterizer(song.info)
+            note_arrays = (song.pitched_notes if pitched
+                           else song.unpitched_notes)
+            n_channels = Cb if pitched else 1
+            for c, n in enumerate(note_arrays[:n_channels]):
+                q = rasterizer.quantize(n, pitched)
+                parts.append(encode_notes(
+                    rasterizer, q, b * n_channels + c, pitched,
+                    B * n_channels, Rb, valid_bars=Rs[b]))
         dn = concat_and_pad(parts)
         return tuple(jnp.asarray(a) for a in
                      (dn.row, dn.note_idx, dn.acc, dn.duration, dn.velocity,
                       dn.valid))
 
-    p_notes = records(song.pitched_notes, True, Cb)
-    instf_pad = np.zeros((1, Cb, song.instruments_features.shape[-1]),
+    p_notes = records(True)
+    instf_pad = np.zeros((B, Cb, songs[0].instruments_features.shape[-1]),
                          np.float32)
-    instf_pad[0, :C] = song.instruments_features
-    cmask = np.zeros((1, Cb), np.float32)
-    cmask[0, :C] = 1.0
-    lengths = np.full((1,), R, np.int32)
+    cmask = np.zeros((B, Cb), np.float32)
+    mode = np.zeros((B, 2), np.float32)
+    bpm = np.zeros((B,), np.float32)
+    for b, song in enumerate(songs):
+        instf_pad[b, :Cs[b]] = song.instruments_features
+        cmask[b, :Cs[b]] = 1.0
+        mode[b] = [0.0, 1.0] if song.info.scale.is_minor else [1.0, 0.0]
+        bpm[b] = song.info.bpm
+    lengths = np.asarray(Rs, np.int32)
     # parity: prepare_input passes percussion whenever present, even all-zero
     # (style_transfer.py:70-73; only the train loop drops silent percussion)
-    has_unpitched = song.unpitched is not None
-    u_notes = umask = None
     if has_unpitched:
-        u_notes = records(song.unpitched_notes, False, 1)
-        umask = jnp.ones((1, 1), jnp.float32)
+        u_notes = records(False)
+        umask = jnp.ones((B, 1), jnp.float32)
     else:
         u_notes = tuple(jnp.zeros((0,)) for _ in range(6))
+        umask = None
 
     # one cached wrapper; jax.jit re-specializes per (static args, shapes)
     style, melody, rhythm = bundle.fn("raster_extract")(
         bundle.params, p_notes, u_notes,
-        jnp.asarray(_mode_one_hot(song)),
-        jnp.asarray(np.array([song.info.bpm], np.float32)),
+        jnp.asarray(mode), jnp.asarray(bpm),
         jnp.asarray(instf_pad), jnp.asarray(lengths), jnp.asarray(cmask),
-        umask, Cb=Cb, Rb=Rb, T=T, has_unpitched=has_unpitched)
-    return style, melody, rhythm, R
+        umask, B=B, Cb=Cb, Rb=Rb, T=T, has_unpitched=has_unpitched)
+    return LatentBatch(style=style, melody=melody, rhythm=rhythm, n_bars=Rs)
 
 
 def _mode_one_hot(song: Song) -> np.ndarray:
@@ -401,22 +477,50 @@ def apply_style(bundle: ModelBundle, info: SongInfo, style, melody, rhythm,
     """Predict song info, pick top-k instruments, decode and save
     (parity: style_transfer.py:101-131 — incl. the predicted-mode scale
     overwrite :118-122 and the percussion-only top-2 escalation :107-108).
-    ``n_bars``: real bar count when the latents are bucket-padded.
-
-    The entire device side (prediction, instrument pick, appliers, packing,
-    sparse compaction) is ONE fused jit call returning one int32 buffer — a
-    single dispatch + single fetch over the (high-latency) host<->TPU link.
-    """
-    from mst_tpu.ops.rasterize import QNotes
-
+    ``n_bars``: real bar count when the latents are bucket-padded."""
     R = rhythm.shape[1] if n_bars is None else n_bars
-    Cb = _bucket(max(n_instruments, 1), CHANNEL_BUCKETS)
-    tpb = jnp.float32(info.ticks_per_beat)
+    apply_styles(bundle, [info], [style], [melody], [rhythm], [n_instruments],
+                 [save_path], [R])
+
+
+def apply_styles(bundle: ModelBundle, infos: Sequence[SongInfo], styles,
+                 melodies, rhythms, n_instruments_list: Sequence[int],
+                 save_paths: Sequence[str], n_bars_list: Sequence[int]
+                 ) -> None:
+    """Batched apply_style: B songs whose latents share one (Rb, T) bucket.
+
+    The entire device side (prediction, instrument picks, appliers, packing,
+    sparse compaction) for ALL B songs is ONE fused jit call returning one
+    (B, bufsize) uint32 buffer — a single dispatch + single fetch over the
+    (high-latency) host<->TPU link, amortized across the batch.
+    """
+    style = jnp.concatenate([jnp.asarray(s) for s in styles], axis=0)
+    melody = jnp.concatenate([jnp.asarray(m) for m in melodies], axis=0)
+    rhythm = jnp.concatenate([jnp.asarray(r) for r in rhythms], axis=0)
+    idx = np.arange(len(infos), dtype=np.int32)
+    _apply_batch(bundle, infos, style, melody, rhythm, idx, idx,
+                 n_instruments_list, save_paths, n_bars_list)
+
+
+def _apply_batch(bundle: ModelBundle, infos, style_mat, melody_mat,
+                 rhythm_mat, style_idx, comp_idx, n_instruments_list,
+                 save_paths, n_bars_list) -> None:
+    """Run the fused apply program for B (style row, composition row) jobs
+    and decode each returned buffer to its .mid file."""
+    B = len(infos)
+    Rb, T = rhythm_mat.shape[1], rhythm_mat.shape[2]
+    Cb = _bucket(max(max(n_instruments_list), 1), CHANNEL_BUCKETS)
+    tpb = jnp.asarray(np.array([i.ticks_per_beat for i in infos], np.float32))
+    n_inst = jnp.asarray(np.array(n_instruments_list, np.int32))
+    bars = jnp.asarray(np.array(n_bars_list, np.int32))
+    style_idx = jnp.asarray(np.asarray(style_idx, np.int32))
+    comp_idx = jnp.asarray(np.asarray(comp_idx, np.int32))
     for capacity in COMPACT_CAPACITIES:
         buf = np.asarray(bundle.fn(f"fused:{capacity}:{Cb}")(
-            bundle.params, style, melody, rhythm, n_instruments, R, tpb))
-        header = buf[:_HDR]
-        count_p, count_u = int(header[4]), int(header[5])
+            bundle.params, style_mat, melody_mat, rhythm_mat,
+            style_idx, comp_idx, n_inst, bars, tpb))
+        count_p = int(buf[:, 4].max())
+        count_u = int(buf[:, 5].max())
         if count_p <= capacity and count_u <= capacity // 4:
             break
     else:
@@ -425,21 +529,30 @@ def apply_style(bundle: ModelBundle, info: SongInfo, style, melody, rhythm,
             f"unpitched notes, beyond the largest compaction capacity "
             f"{COMPACT_CAPACITIES[-1]}; jnp.nonzero already dropped records "
             f"on device, so decoding would silently lose notes")
+    for b in range(B):
+        _decode_packed_buffer(infos[b], buf[b], capacity, Cb, Rb, T,
+                              save_paths[b])
 
+
+def _decode_packed_buffer(info: SongInfo, buf: np.ndarray, capacity: int,
+                          Cb: int, Rb: int, T: int, save_path: str) -> None:
+    """Decode one song's fused-apply result buffer to a .mid file."""
+    from mst_tpu.ops.rasterize import QNotes
+
+    header = buf[:_HDR]
+    count_p, count_u = int(header[4]), int(header[5])
     info.tempo = bpm2tempo(int(header[0]))
     info.scale = Scale(tonic=info.scale.tonic, is_minor=bool(header[1] == 1))
     rasterizer = Rasterizer(info)
     n_picked = int(header[2])
     has_unpitched = bool(header[3])
-    picked = buf[_HDR:_HDR + Cb].view(np.int32)[:n_picked]
+    picked = np.ascontiguousarray(buf[_HDR:_HDR + Cb]).view(np.int32)[:n_picked]
     instruments = [category_instrument(int(i)) for i in picked]
-
-    Rb, T = rhythm.shape[1], rhythm.shape[2]
     base = _HDR + Cb
 
     def unpack(records, shape, n_channels, count):
         recs = records.reshape(-1, 2)[:count]
-        _, c, bar, beat, frac, note = np.unravel_index(
+        c, bar, beat, frac, note = np.unravel_index(
             recs[:, 0].astype(np.int64), shape)
         dur = (recs[:, 1] >> 16) & 0xFFFF
         vel = (recs[:, 1] >> 8) & 0xFF
@@ -457,7 +570,7 @@ def apply_style(bundle: ModelBundle, info: SongInfo, style, melody, rhythm,
                 acc=acc[sel].astype(np.int32)))
         return out
 
-    shape_p = (1, Cb, Rb, T, 10, 56)
+    shape_p = (Cb, Rb, T, 10, 56)
     qnotes_p = unpack(buf[base:base + capacity * 2], shape_p, n_picked,
                       count_p)
     instruments_data = []
@@ -469,7 +582,7 @@ def apply_style(bundle: ModelBundle, info: SongInfo, style, melody, rhythm,
             "messages": rasterizer.qnotes_to_messages(qnotes_p[c], True),
         })
     if has_unpitched:
-        shape_u = (1, 1, Rb, T, 10, 47)
+        shape_u = (1, Rb, T, 10, 47)
         qnotes_u = unpack(buf[base + capacity * 2:], shape_u, 1, count_u)
         instruments_data.append({
             "channel_id": 9, "instrument_id": -1,
@@ -527,37 +640,78 @@ def transfer_and_evaluate(bundle: ModelBundle, composition_path, style_paths,
 def transfer_style(bundle: ModelBundle, composition_path, style_paths,
                    output_path) -> List[str]:
     """Parity: style_transfer.py:22-54. Returns the written file paths."""
-    written = []
-    name = os.path.splitext(os.path.basename(str(composition_path)))[0]
-    _, comp = get_model_input(composition_path)
-    comp_rasterizer = Rasterizer(comp.info)
-    style_vec, melody, rhythm, n_bars = extract_style(bundle, comp)
+    return transfer_styles(bundle, [composition_path], style_paths,
+                           output_path)
 
-    out_dir = os.path.join(str(output_path), name)
-    original = os.path.join(out_dir, f"original/{name}.mid")
-    save_channels(comp_rasterizer, comp.pitched, comp.unpitched,
-                  comp.instruments, original)
-    written.append(original)
 
-    reconstructed = os.path.join(out_dir, f"{name} (reconstructed).mid")
-    apply_style(bundle, comp.info, style_vec, melody, rhythm,
-                len(comp.instruments), reconstructed, n_bars=n_bars)
-    written.append(reconstructed)
+def transfer_styles(bundle: ModelBundle, composition_paths, style_paths,
+                    output_path) -> List[str]:
+    """Batched transfer_style over many compositions (same per-song outputs
+    and file layout, identical semantics per style_transfer.py:22-54).
 
-    for style_path in style_paths:
-        style_name = os.path.splitext(os.path.basename(str(style_path)))[0]
-        _, style_song = get_model_input(style_path)
-        style_rasterizer = Rasterizer(style_song.info)
-        style_only, _, _, _ = extract_style(bundle, style_song)
+    TPU-first batching: ALL compositions and style songs are latent-extracted
+    in grouped batched dispatches, and all (reconstructed + styled) apply jobs
+    of a shape group run as ONE fused device program + one fetch — the
+    per-song dispatch overhead of the remote link is amortized across the
+    whole workload."""
+    comps = [get_model_input(p)[1] for p in composition_paths]
+    style_songs = [get_model_input(p)[1] for p in style_paths]
+    batches, locators = extract_styles(bundle, comps + style_songs)
+    comp_loc = locators[:len(comps)]
+    style_loc = locators[len(comps):]
 
-        path = os.path.join(out_dir, f"original/{style_name}.mid")
-        save_channels(style_rasterizer, style_song.pitched,
-                      style_song.unpitched, style_song.instruments, path)
-        written.append(path)
+    # global style-vector matrix: batch g's rows start at style_offset[g]
+    style_offset = np.cumsum([0] + [b.style.shape[0] for b in batches])
+    style_mat = (batches[0].style if len(batches) == 1 else
+                 jnp.concatenate([b.style for b in batches], axis=0))
 
-        info = combine_info(style_info=style_song.info, melody_info=comp.info)
-        path = os.path.join(out_dir, f"{name} ({style_name} style).mid")
-        apply_style(bundle, info, style_only, melody, rhythm,
-                    len(style_song.instruments), path, n_bars=n_bars)
-        written.append(path)
-    return written
+    def style_row(loc):
+        return int(style_offset[loc[0]]) + loc[1]
+
+    written_per_comp = [[] for _ in comps]
+    # originals: host-side decode of the ingested tensors
+    names = [os.path.splitext(os.path.basename(str(p)))[0]
+             for p in composition_paths]
+    style_names = [os.path.splitext(os.path.basename(str(p)))[0]
+                   for p in style_paths]
+    for i, comp in enumerate(comps):
+        out_dir = os.path.join(str(output_path), names[i])
+        original = os.path.join(out_dir, f"original/{names[i]}.mid")
+        save_channels(Rasterizer(comp.info), comp.pitched, comp.unpitched,
+                      comp.instruments, original)
+        written_per_comp[i].append(original)
+        for j, style_song in enumerate(style_songs):
+            path = os.path.join(out_dir, f"original/{style_names[j]}.mid")
+            save_channels(Rasterizer(style_song.info), style_song.pitched,
+                          style_song.unpitched, style_song.instruments, path)
+
+    # apply jobs, grouped by the composition's latent batch (shared Rb/T)
+    jobs_per_group = {}
+    for i, comp in enumerate(comps):
+        g, row = comp_loc[i]
+        out_dir = os.path.join(str(output_path), names[i])
+        jobs = jobs_per_group.setdefault(g, [])
+        reconstructed = os.path.join(out_dir,
+                                     f"{names[i]} (reconstructed).mid")
+        jobs.append((style_row(comp_loc[i]), row, comp.info,
+                     len(comp.instruments), batches[g].n_bars[row],
+                     reconstructed))
+        written_per_comp[i].append(reconstructed)
+        for j, style_song in enumerate(style_songs):
+            info = combine_info(style_info=style_song.info,
+                                melody_info=comp.info)
+            path = os.path.join(
+                out_dir, f"{names[i]} ({style_names[j]} style).mid")
+            jobs.append((style_row(style_loc[j]), row, info,
+                         len(style_song.instruments),
+                         batches[g].n_bars[row], path))
+            written_per_comp[i].append(
+                os.path.join(out_dir, f"original/{style_names[j]}.mid"))
+            written_per_comp[i].append(path)
+
+    for g, jobs in jobs_per_group.items():
+        s_idx, c_idx, infos, n_inst, bars, paths = zip(*jobs)
+        _apply_batch(bundle, list(infos), style_mat, batches[g].melody,
+                     batches[g].rhythm, list(s_idx), list(c_idx),
+                     list(n_inst), list(paths), list(bars))
+    return [p for per_comp in written_per_comp for p in per_comp]

@@ -151,3 +151,51 @@ def test_transfer_and_evaluate(bundle, example_midis, tmp_path):
         assert s is None or -1.0 <= s <= 1.0  # None: silent untrained output
         if "style)" in path:
             assert "vs_style" in entry
+
+
+def test_extract_styles_batch_matches_single(bundle, example_midis):
+    """Batched multi-song extraction returns (row-for-row) the same latents
+    as per-song extract_style, up to bucket padding."""
+    from mst_tpu.transfer import extract_styles
+    s1 = get_model_input(_example("Angie.4.mid", example_midis))[1]
+    s2 = get_model_input(_example("Sweet Dreams.mid", example_midis))[1]
+    batches, locators = extract_styles(bundle, [s1, s2])
+    for song, loc in zip((s1, s2), locators):
+        g, row = loc
+        batch = batches[g]
+        style, melody, rhythm, R = extract_style(bundle, song)
+        assert batch.n_bars[row] == R
+        np.testing.assert_allclose(np.asarray(batch.style[row]),
+                                   np.asarray(style[0]), rtol=1e-4, atol=1e-5)
+        m_single = np.asarray(melody[0])
+        m_batch = np.asarray(batch.melody[row])[:m_single.shape[0]]
+        np.testing.assert_allclose(m_batch[:R], m_single[:R],
+                                   rtol=1e-4, atol=1e-5)
+        r_single = np.asarray(rhythm[0])
+        r_batch = np.asarray(batch.rhythm[row])[:r_single.shape[0]]
+        np.testing.assert_allclose(r_batch[:R], r_single[:R],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_transfer_styles_multi_composition(bundle, example_midis, tmp_path):
+    """Batched driver: two compositions against one style in grouped
+    dispatches, same per-song file layout as transfer_style."""
+    from mst_tpu.transfer import transfer_styles
+    comps = [_example("Sweet Dreams.mid", example_midis),
+             _example("Equinox Part 4.mid", example_midis)]
+    style = _example("Angie.4.mid", example_midis)
+    written = transfer_styles(bundle, comps, [style], tmp_path)
+    assert len(written) == 8
+    names = sorted(os.path.relpath(w, tmp_path) for w in written)
+    assert names == sorted([
+        "Sweet Dreams/original/Sweet Dreams.mid",
+        "Sweet Dreams/Sweet Dreams (reconstructed).mid",
+        "Sweet Dreams/original/Angie.4.mid",
+        "Sweet Dreams/Sweet Dreams (Angie.4 style).mid",
+        "Equinox Part 4/original/Equinox Part 4.mid",
+        "Equinox Part 4/Equinox Part 4 (reconstructed).mid",
+        "Equinox Part 4/original/Angie.4.mid",
+        "Equinox Part 4/Equinox Part 4 (Angie.4 style).mid",
+    ])
+    for w in written:
+        assert load_midi_from_file(w) is not None, w
