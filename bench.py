@@ -1,92 +1,150 @@
 #!/usr/bin/env python
-"""Headline benchmark: full-song MIDI -> styled-MIDI, songs/sec on one chip.
+"""Headline benchmark: full-song MIDI -> styled-MIDI throughput on one chip,
+plus training-step throughput.
 
-Measures the complete style-transfer path of BASELINE.json's north star on the
-bundled "Sweet Dreams" example: MIDI ingestion (parse -> scale detection ->
-rasterize), latent extraction, song-info prediction + style application
-(jit-compiled model), hard-output decode, and .mid synthesis. Steady-state
-timing (first run pays jit compiles and is excluded).
+Line 1 measures the complete style-transfer path of BASELINE.json's north
+star over a BATCH of bundled compositions styled against one style song:
+MIDI ingestion (parse -> scale detection -> quantization), batched on-device
+rasterization + latent extraction, batched song-info prediction + style
+application + packed compaction (one fused device program per shape group),
+and per-song .mid decode/synthesis. Steady-state timing (the first run pays
+jit compiles and is excluded); the unit is one full composition->styled-song
+pipeline.
 
-The reference publishes no throughput numbers (BASELINE.md); the baseline used
-for ``vs_baseline`` is the north-star target of 1 song/sec (<1 s per song,
-BASELINE.json). The model is freshly initialized with the velocity head biased
-negative so output density matches a trained model's sparse piano roll rather
-than random-init half-density (infrastructure cost, not model quality, is what
-this measures).
+Line 2 measures the jitted train step (forward + backward + accumulate +
+Adam, runtime/train.py) at the standard (8-channel, 128-bar) shape bucket
+with the device-rasterized data path, including the per-step loss fetch the
+real training loop pays.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Params come from the committed trained snapshot (snapshots/, the round-2
+5000-iteration campaign) so output density is a trained model's; without a
+snapshot the appliers' velocity bias is sparsified to approximate it.
+
+The reference publishes no throughput numbers (BASELINE.md); baselines are
+the north-star target of 1 song/sec (<1 s per song, BASELINE.json) and a
+reference-scale campaign (5000 iterations) in under 10 minutes on one chip
+(8.33 steps/sec).
+
+Prints one JSON line per metric: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
-COMPOSITION = ("/root/reference/examples/style transfer - midi/"
-               "Sweet Dreams/original/Sweet Dreams.mid")
-STYLE = ("/root/reference/examples/style transfer - midi/"
-         "My Way/original/Angie.4.mid")
-TARGET_SONGS_PER_SEC = 1.0  # north star: <1 s per full song
+_EX = "/root/reference/examples/style transfer - midi"
+COMPOSITIONS = [
+    f"{_EX}/Sweet Dreams/original/Sweet Dreams.mid",
+    f"{_EX}/Orient Express/original/Orient Express.mid",
+    f"{_EX}/My Way/original/My Way (live).3.mid",
+    f"{_EX}/It Must Have Been Love/original/It Must Have Been Love (live studio).1.mid",
+    f"{_EX}/Sweet Dreams/original/Beat It.4.mid",
+    f"{_EX}/Sweet Dreams/original/Equinox Part 4.mid",
+]
+STYLE = f"{_EX}/My Way/original/Angie.4.mid"
+SNAPSHOTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "snapshots")
+TARGET_SONGS_PER_SEC = 1.0        # north star: <1 s per full song
+TARGET_TRAIN_STEPS_PER_SEC = 8.33  # 5000-iteration campaign in <10 min
 
 
 def sparsify_velocity_bias(params):
     """Bias the appliers' final-layer velocity logit negative so hard_output
-    yields a realistically sparse roll (~trained-model density)."""
-    import jax.numpy as jnp
+    yields a realistically sparse roll (fallback when no trained snapshot)."""
     for name in ("pitched_style_applier", "unpitched_style_applier"):
         layer = params["params"][name]["linear"]
-        bias = layer["bias"]
-        layer["bias"] = bias.at[1].set(-5.0)
+        layer["bias"] = layer["bias"].at[1].set(-5.0)
     return params
 
 
-def run_once(bundle, out_dir):
-    from mst_tpu.transfer import transfer_style
-    return transfer_style(bundle, COMPOSITION, [STYLE], out_dir)
-
-
-def main():
+def load_bundle():
     import jax
     import jax.numpy as jnp
     from mst_tpu.models import StyleTransferModel
+    from mst_tpu.runtime.checkpoint import load_trained_params
     from mst_tpu.transfer import ModelBundle
 
     model = StyleTransferModel()
-    # initialize on the host CPU backend: un-jitted init dispatches hundreds
-    # of tiny ops, which is pathological over a remote-TPU transport (~3 min);
-    # on CPU it is ~1 s and the params transfer once.
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        params = jax.jit(model.init)(
-            jax.random.PRNGKey(0), jnp.array([[1.0, 0.0]]),
-            jnp.array([120.0]), jnp.zeros((1, 1, 4, 4, 10, 56, 5)),
-            jnp.zeros((1, 1, 51)).at[0, 0, 0].set(1.0),
-            jnp.zeros((1, 1, 4, 4, 10, 47, 2)))
-        params = sparsify_velocity_bias(dict(params))
+    params, step = load_trained_params(model, SNAPSHOTS)
+    if params is None:
+        # initialize on the host CPU backend: un-jitted init dispatches
+        # hundreds of tiny ops, pathological over a remote-TPU transport
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params = jax.jit(model.init)(
+                jax.random.PRNGKey(0), jnp.array([[1.0, 0.0]]),
+                jnp.array([120.0]), jnp.zeros((1, 1, 4, 4, 10, 56, 5)),
+                jnp.zeros((1, 1, 51)).at[0, 0, 0].set(1.0),
+                jnp.zeros((1, 1, 4, 4, 10, 47, 2)))
+            params = sparsify_velocity_bias(dict(params))
     params = jax.device_put(params, jax.devices()[0])
-    bundle = ModelBundle(model=model, params=params)
+    return ModelBundle(model=model, params=dict(params))
 
-    # warmup: pays all jit compiles for this song's shapes
-    run_once(bundle, "/tmp/bench_warmup")
 
-    # per-run timing with best-of-N: the transport to a remote/attached chip
-    # has high run-to-run variance; the minimum is the standard robust
-    # estimator of achievable machine speed
-    n_runs = 5
+def bench_transfer(bundle):
+    from mst_tpu.transfer import transfer_styles
+
+    def run(out_dir):
+        return transfer_styles(bundle, COMPOSITIONS, [STYLE], out_dir)
+
+    run("/tmp/bench_warmup")  # pays all jit compiles for these shape groups
+
+    # best-of-N: the transport to a remote/attached chip has high run-to-run
+    # variance; the minimum is the standard robust estimator
     times = []
-    for i in range(n_runs):
+    for i in range(5):
         t0 = time.perf_counter()
-        run_once(bundle, f"/tmp/bench_run_{i}")
+        run(f"/tmp/bench_run_{i}")
         times.append(time.perf_counter() - t0)
+    per_song = min(times) / len(COMPOSITIONS)
+    return 1.0 / per_song
 
-    # each run ingests 2 songs and produces 2 styled outputs + 2 originals;
-    # the headline unit is one full composition->styled-song pipeline
-    per_song = min(times)
-    songs_per_sec = 1.0 / per_song
+
+def bench_train_step(bundle):
+    import jax
+    from mst_tpu.config import Config
+    from mst_tpu.data.pipeline import get_input
+    from mst_tpu.io import load_midi_from_file
+    from mst_tpu.ops.events import read_midi
+    from mst_tpu.runtime.train import (
+        create_train_state, device_batch_from_song, make_train_step)
+
+    config = Config()
+    channels, info = read_midi(load_midi_from_file(COMPOSITIONS[0]))
+    song = get_input(channels, info)
+    batch = device_batch_from_song(song, 8, 128,
+                                   bar_cap=800 // song.n_channels)
+    state = create_train_state(bundle.model, config, batch,
+                               jax.random.PRNGKey(0))
+    step = make_train_step(bundle.model, config,
+                           has_unpitched=batch.unpitched is not None)
+    for _ in range(3):  # compile + warmup
+        state, _ = step(state, batch)
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, losses = step(state, batch)
+    return n / (time.perf_counter() - t0)
+
+
+def main():
+    bundle = load_bundle()
+
+    songs_per_sec = bench_transfer(bundle)
     print(json.dumps({
         "metric": "midi_to_styled_midi_full_pipeline",
         "value": round(songs_per_sec, 4),
         "unit": "songs/sec/chip",
         "vs_baseline": round(songs_per_sec / TARGET_SONGS_PER_SEC, 4),
+    }))
+
+    steps_per_sec = bench_train_step(bundle)
+    print(json.dumps({
+        "metric": "train_step",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(steps_per_sec / TARGET_TRAIN_STEPS_PER_SEC, 4),
     }))
 
 
