@@ -21,14 +21,14 @@ def notes_dist(info: SongInfo, notes: NoteArray, instrument_name: str = "",
                instrument_id: int = 0) -> Dict:
     """Per (key name, octave) seconds of duration*velocity mass
     (parity: get_notes_dist, midi_conversion.py:327-337)."""
-    out: Dict = {}
     weights = notes.duration.astype(np.float64) * notes.velocity
     seconds = tick2second(weights, info.ticks_per_beat, info.tempo)
-    octave = notes.note_id // 12 - 1
-    key_idx = notes.note_id % 12
-    for i in range(len(notes)):
-        k = (KEY_NAMES[int(key_idx[i])], int(octave[i]))
-        out[k] = out.get(k, 0.0) + float(seconds[i])
+    # one bincount over (octave, key) codes instead of a per-note Python loop
+    code = notes.note_id.astype(np.int64)  # octave*12 + key, octave offset +1
+    mass = np.bincount(code, weights=seconds, minlength=128)
+    present = np.flatnonzero(mass)
+    out: Dict = {(KEY_NAMES[int(c % 12)], int(c // 12) - 1): float(mass[c])
+                 for c in present}
     out["instrument"] = instrument_name
     out["instrument_id"] = instrument_id
     return out

@@ -146,35 +146,53 @@ def get_midi_info(global_events: EventStream, channels: List[EventStream],
     last_note = int(note_on_times.max())
     duration = int(max(int(ch.time.max()) for ch in channels if len(ch)))
 
-    def during_song(t: int) -> bool:
-        return first_note <= t <= last_note
+    # Vectorized meta-event scan (the reference loops every message in
+    # Python, midi_conversion.py:131-177). Each meta type is an independent
+    # state machine whose running value after event i is exactly event i's
+    # value, so "value changed" == "differs from the previous event of the
+    # same type" (with the default prepended) — one shifted compare per type
+    # instead of a per-event Python loop, which matters on tempo-map-heavy
+    # files.
+    g_type = np.asarray(global_events.type)
+    g_time = np.asarray(global_events.time)
+    g_a = np.asarray(global_events.a)
+    g_b = np.asarray(global_events.b)
+    in_song_all = (g_time >= first_note) & (g_time <= last_note)
 
     numerator, denominator = 4, 4
+    ts = g_type == EV_TIME_SIG
+    if ts.any():
+        ts_a, ts_b = g_a[ts], g_b[ts]
+        changed = ((ts_a != np.concatenate(([numerator], ts_a[:-1])))
+                   | (ts_b != np.concatenate(([denominator], ts_b[:-1]))))
+        if np.any(changed & in_song_all[ts]):
+            raise MidiFormatError("Time signature changed")
+        numerator, denominator = int(ts_a[-1]), int(ts_b[-1])
+
     key_sig = None
+    ks = g_type == EV_KEY_SIG
+    if ks.any():
+        ks_a, ks_b = g_a[ks], g_b[ks]
+        changed = ((ks_a != np.concatenate(([ks_a[0]], ks_a[:-1])))
+                   | (ks_b != np.concatenate(([ks_b[0]], ks_b[:-1]))))
+        changed[0] = True  # first key signature always sets the value
+        if np.any(changed & in_song_all[ks]):
+            raise MidiFormatError("Key signature changed")
+        key_sig = (int(ks_a[-1]), int(ks_b[-1]))
+
     tempo = DEFAULT_TEMPO
     tempo_change_time = 0
     tempo2time: Dict[int, int] = {}
-
-    for i in range(len(global_events)):
-        ev = int(global_events.type[i])
-        t = int(global_events.time[i])
-        a = int(global_events.a[i])
-        b = int(global_events.b[i])
-        if ev == EV_TIME_SIG:
-            if (a, b) != (numerator, denominator):
-                if during_song(t):
-                    raise MidiFormatError("Time signature changed")
-                numerator, denominator = a, b
-        elif ev == EV_KEY_SIG:
-            if (a, b) != key_sig:
-                if during_song(t):
-                    raise MidiFormatError("Key signature changed")
-                key_sig = (a, b)
-        elif ev == EV_TEMPO:
-            if a != tempo:
-                tempo2time[tempo] = tempo2time.get(tempo, 0) + t - tempo_change_time
-                tempo = a
-                tempo_change_time = t
+    te = g_type == EV_TEMPO
+    te_a, te_t = g_a[te], g_time[te]
+    # only actual tempo CHANGES touch the histogram; dict insertion order is
+    # preserved (it breaks max() ties below, matching the reference)
+    for i in np.flatnonzero(
+            te_a != np.concatenate(([tempo], te_a[:-1]))):
+        t = int(te_t[i])
+        tempo2time[tempo] = tempo2time.get(tempo, 0) + t - tempo_change_time
+        tempo = int(te_a[i])
+        tempo_change_time = t
 
     ticks_per_bar = int(ticks_per_beat * numerator)
     tempo2time[tempo] = tempo2time.get(tempo, 0) + duration - tempo_change_time
