@@ -144,20 +144,32 @@ class Rasterizer:
 
     # --- inverse: dense tensor -> notes -> messages
 
-    def derasterize(self, vchannel: np.ndarray, pitched: bool) -> QNotes:
+    def derasterize(self, vchannel: np.ndarray, pitched: bool,
+                    hard: bool = False) -> QNotes:
         """Gather nonzero-velocity cells back into quantized notes (parity:
         vchannel2qchannel, midi_conversion.py:518-562 — including its
         accidental precedence flat > natural > sharp > none and
-        ``int(duration * ticks_per_beat)`` truncation)."""
+        ``int(duration * ticks_per_beat)`` truncation).
+
+        ``hard=True`` fuses hard_output thresholding (model.py:818-832) into
+        the sparse gather: cells with velocity <= .01 are dropped and
+        accidentals are argmax-gated at .1 on the gathered cells only —
+        identical results to thresholding the dense tensor first, without
+        copying it."""
         velocity = vchannel[..., F_VELOCITY]
-        bar, beat, frac, nidx = np.nonzero(velocity)  # C-order == loop order
+        mask = velocity > 0.01 if hard else velocity != 0
+        bar, beat, frac, nidx = np.nonzero(mask)  # C-order == loop order
         cells = vchannel[bar, beat, frac, nidx]
         duration = (cells[..., F_DURATION] * self.info.ticks_per_beat
                     ).astype(np.int64)
         if pitched:
-            flat = cells[..., F_FLAT] != 0
-            natural = cells[..., F_NATURAL] != 0
-            sharp = cells[..., F_SHARP] != 0
+            acc_feat = cells[..., F_FLAT:F_SHARP + 1]
+            if hard:
+                acc_feat = ((acc_feat == acc_feat.max(axis=-1, keepdims=True))
+                            & (acc_feat > 0.1))
+            flat = acc_feat[..., 0] != 0
+            natural = acc_feat[..., 1] != 0
+            sharp = acc_feat[..., 2] != 0
             acc = np.where(flat, 0, np.where(natural, 1, np.where(sharp, 2, 1)))
         else:
             acc = np.zeros(bar.shape, dtype=np.int64)
@@ -216,7 +228,7 @@ class Rasterizer:
                           velocity=vels[order], time=times[order])
 
     def messages_from_raster(self, vchannel: np.ndarray, pitched: bool,
-                             ) -> NoteStream:
+                             hard: bool = False) -> NoteStream:
         """vchannel2channel composite (parity: midi_conversion.py:570-573)."""
-        return self.qnotes_to_messages(self.derasterize(vchannel, pitched),
-                                       pitched)
+        return self.qnotes_to_messages(
+            self.derasterize(vchannel, pitched, hard=hard), pitched)

@@ -66,7 +66,7 @@ def _pack_output(x, ticks_per_beat):
     return dur_ticks, vel_byte, code.astype(jnp.uint8)
 
 
-COMPACT_CAPACITIES = (65536, 262144, 1048576)
+COMPACT_CAPACITIES = (16384, 65536, 262144, 1048576)
 
 # fused-result buffer layout (see _fused_transfer_apply)
 _HDR = 8  # [bpm, mode_idx, n_picked, has_unpitched, count_p, count_u, 0, 0]
@@ -186,9 +186,38 @@ def _bucket(n: int, buckets) -> int:
 
 @dataclasses.dataclass
 class ModelBundle:
+    """Model + params (+ optional device mesh).
+
+    With ``mesh`` set, params are replicated across it and every batched
+    transfer stage (extraction, fused apply) shards its batch axis over the
+    ``data`` mesh axis — the batch is padded up to a multiple of the axis
+    size, each device runs its slice of the songs, and XLA inserts the
+    gathers for the style/composition cross product. Multi-chip inference
+    throughput thus scales with the mesh; semantics are unchanged (tested
+    identical output files on a virtual device mesh)."""
+
     model: StyleTransferModel
     params: dict
+    mesh: Optional[object] = None  # jax.sharding.Mesh
+    capacity_hint: int = 0  # sticky: smallest compaction tier known to fit
     _jitted: dict = dataclasses.field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.params = jax.device_put(
+                self.params, NamedSharding(self.mesh, P()))
+
+    def data_axis_size(self) -> int:
+        return 1 if self.mesh is None else self.mesh.shape["data"]
+
+    def shard_rows(self, x):
+        """Commit a batch-axis array to the mesh (rows over ``data``)."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
 
     def fn(self, key: str):
         """Cached jitted model methods (compiled once per input shape)."""
@@ -320,7 +349,11 @@ def _extract_group(bundle: ModelBundle, songs: Sequence[Song], T: int,
     extractor."""
     from mst_tpu.ops.device_raster import concat_and_pad, encode_notes
 
-    B = len(songs)
+    B_real = len(songs)
+    # pad the batch up to the data-axis size so rows shard evenly; pad rows
+    # are all-zero songs whose latents are never referenced
+    n_data = bundle.data_axis_size()
+    B = -(-B_real // n_data) * n_data
     caps = [1000 // s.n_channels for s in songs]
     Cs = [s.pitched.shape[0] for s in songs]
     Rs = [min(s.pitched.shape[1], cap) for s, cap in zip(songs, caps)]
@@ -349,18 +382,18 @@ def _extract_group(bundle: ModelBundle, songs: Sequence[Song], T: int,
                          np.float32)
     cmask = np.zeros((B, Cb), np.float32)
     mode = np.zeros((B, 2), np.float32)
-    bpm = np.zeros((B,), np.float32)
+    bpm = np.full((B,), 120.0, np.float32)
     for b, song in enumerate(songs):
         instf_pad[b, :Cs[b]] = song.instruments_features
         cmask[b, :Cs[b]] = 1.0
         mode[b] = [0.0, 1.0] if song.info.scale.is_minor else [1.0, 0.0]
         bpm[b] = song.info.bpm
-    lengths = np.asarray(Rs, np.int32)
+    lengths = np.asarray(Rs + [1] * (B - B_real), np.int32)
     # parity: prepare_input passes percussion whenever present, even all-zero
     # (style_transfer.py:70-73; only the train loop drops silent percussion)
     if has_unpitched:
         u_notes = records(False)
-        umask = jnp.ones((B, 1), jnp.float32)
+        umask = bundle.shard_rows(jnp.ones((B, 1), jnp.float32))
     else:
         u_notes = tuple(jnp.zeros((0,)) for _ in range(6))
         umask = None
@@ -368,8 +401,11 @@ def _extract_group(bundle: ModelBundle, songs: Sequence[Song], T: int,
     # one cached wrapper; jax.jit re-specializes per (static args, shapes)
     style, melody, rhythm = bundle.fn("raster_extract")(
         bundle.params, p_notes, u_notes,
-        jnp.asarray(mode), jnp.asarray(bpm),
-        jnp.asarray(instf_pad), jnp.asarray(lengths), jnp.asarray(cmask),
+        bundle.shard_rows(jnp.asarray(mode)),
+        bundle.shard_rows(jnp.asarray(bpm)),
+        bundle.shard_rows(jnp.asarray(instf_pad)),
+        bundle.shard_rows(jnp.asarray(lengths)),
+        bundle.shard_rows(jnp.asarray(cmask)),
         umask, B=B, Cb=Cb, Rb=Rb, T=T, has_unpitched=has_unpitched)
     return LatentBatch(style=style, melody=melody, rhythm=rhythm, n_bars=Rs)
 
@@ -418,22 +454,22 @@ def save_channels(rasterizer: Rasterizer, pitched_channels, unpitched_channels,
         if unpitched.ndim == 7:
             unpitched = unpitched[0]
 
-    # decode_midi always thresholds, including originals (style_transfer.py:147)
-    pitched = _hard_output_np(pitched)
-    if unpitched is not None:
-        unpitched = _hard_output_np(unpitched)
-
+    # decode_midi always thresholds, including originals
+    # (style_transfer.py:147) — fused sparsely into the derasterize gather
+    # (hard=True) so the dense tensor is never copied
     instruments_data = []
     channel_ids = _free_channels(pitched.shape[0])
     for idx, instrument_id in zip(range(pitched.shape[0]), instruments):
-        messages = rasterizer.messages_from_raster(pitched[idx], pitched=True)
+        messages = rasterizer.messages_from_raster(pitched[idx], pitched=True,
+                                                   hard=True)
         instruments_data.append({
             "channel_id": channel_ids[idx],
             "instrument_id": int(instrument_id),
             "messages": messages,
         })
     if unpitched is not None:
-        messages = rasterizer.messages_from_raster(unpitched[0], pitched=False)
+        messages = rasterizer.messages_from_raster(unpitched[0],
+                                                   pitched=False, hard=True)
         instruments_data.append({
             "channel_id": 9, "instrument_id": -1, "messages": messages,
         })
@@ -510,18 +546,33 @@ def _apply_batch(bundle: ModelBundle, infos, style_mat, melody_mat,
     B = len(infos)
     Rb, T = rhythm_mat.shape[1], rhythm_mat.shape[2]
     Cb = _bucket(max(max(n_instruments_list), 1), CHANNEL_BUCKETS)
-    tpb = jnp.asarray(np.array([i.ticks_per_beat for i in infos], np.float32))
-    n_inst = jnp.asarray(np.array(n_instruments_list, np.int32))
-    bars = jnp.asarray(np.array(n_bars_list, np.int32))
-    style_idx = jnp.asarray(np.asarray(style_idx, np.int32))
-    comp_idx = jnp.asarray(np.asarray(comp_idx, np.int32))
-    for capacity in COMPACT_CAPACITIES:
+
+    def rows(values, dtype):
+        # pad the job list by repeating the last job so rows shard evenly
+        # over the mesh (pad outputs are never decoded)
+        n_data = bundle.data_axis_size()
+        Bp = -(-B // n_data) * n_data
+        arr = np.asarray(list(values) + [values[-1]] * (Bp - B), dtype)
+        return bundle.shard_rows(jnp.asarray(arr))
+
+    tpb = rows([i.ticks_per_beat for i in infos], np.float32)
+    n_inst = rows(list(n_instruments_list), np.int32)
+    bars = rows(list(n_bars_list), np.int32)
+    style_idx = rows(list(style_idx), np.int32)
+    comp_idx = rows(list(comp_idx), np.int32)
+    # start at the sticky hint: once a batch needed a bigger tier, later
+    # batches skip the doomed small-tier dispatch (escalation re-runs the
+    # whole program, so a wrong guess costs a full round trip)
+    ladder = [c for c in COMPACT_CAPACITIES if c >= bundle.capacity_hint] \
+        or [COMPACT_CAPACITIES[-1]]
+    for capacity in ladder:
         buf = np.asarray(bundle.fn(f"fused:{capacity}:{Cb}")(
             bundle.params, style_mat, melody_mat, rhythm_mat,
             style_idx, comp_idx, n_inst, bars, tpb))
-        count_p = int(buf[:, 4].max())
-        count_u = int(buf[:, 5].max())
+        count_p = int(buf[:B, 4].max())
+        count_u = int(buf[:B, 5].max())
         if count_p <= capacity and count_u <= capacity // 4:
+            bundle.capacity_hint = capacity
             break
     else:
         raise OverflowError(
@@ -674,6 +725,7 @@ def transfer_styles(bundle: ModelBundle, composition_paths, style_paths,
              for p in composition_paths]
     style_names = [os.path.splitext(os.path.basename(str(p)))[0]
                    for p in style_paths]
+    style_original_bytes = [None] * len(style_songs)
     for i, comp in enumerate(comps):
         out_dir = os.path.join(str(output_path), names[i])
         original = os.path.join(out_dir, f"original/{names[i]}.mid")
@@ -682,8 +734,17 @@ def transfer_styles(bundle: ModelBundle, composition_paths, style_paths,
         written_per_comp[i].append(original)
         for j, style_song in enumerate(style_songs):
             path = os.path.join(out_dir, f"original/{style_names[j]}.mid")
-            save_channels(Rasterizer(style_song.info), style_song.pitched,
-                          style_song.unpitched, style_song.instruments, path)
+            if style_original_bytes[j] is None:
+                # decode each style original ONCE; later comps get a byte copy
+                save_channels(Rasterizer(style_song.info), style_song.pitched,
+                              style_song.unpitched, style_song.instruments,
+                              path)
+                with open(path, "rb") as fh:
+                    style_original_bytes[j] = fh.read()
+            else:
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                with open(path, "wb") as fh:
+                    fh.write(style_original_bytes[j])
 
     # apply jobs, grouped by the composition's latent batch (shared Rb/T)
     jobs_per_group = {}

