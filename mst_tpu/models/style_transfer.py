@@ -72,8 +72,13 @@ class StyleTransferModel(nn.Module):
             unpitched_rhythm = self.unpitched_rhythm_encoder(
                 unpitched_beats, unpitched_bars, unpitched_channels, bpm,
                 uchannel_mask)
-            bars = combine_pair(pitched_bars, unpitched_bars)
-            rhythm = combine_pair(pitched_rhythm, unpitched_rhythm)
+            # in a mixed batch, rows without any percussion channel must see
+            # pitched-only embeddings (the reference omits the absent tensor)
+            u_present = None
+            if uchannel_mask is not None:
+                u_present = (uchannel_mask.max(axis=1) > 0)
+            bars = combine_pair(pitched_bars, unpitched_bars, u_present)
+            rhythm = combine_pair(pitched_rhythm, unpitched_rhythm, u_present)
 
         style = self.style_encoder(bars, instruments_features, mode, bpm,
                                    bar_lengths, channel_mask)

@@ -25,9 +25,13 @@ BPM_RANGE = 150.0  # max_bpm - min_bpm (style/model.py:22-25)
 
 
 def safe_sqrt(x):
-    """sqrt with value 0 and gradient 0 at x == 0 (parity: utils/pytorch.py:68-71)."""
+    """sqrt with value 0 and gradient 0 at x == 0 (parity: utils/pytorch.py:68-71).
+
+    NaN inputs stay NaN (``NaN > 0`` is False, so a plain where would silently
+    map a blown-up loss component to 0.0 and hide it from the NaN guard)."""
     safe = jnp.where(x > 0, x, 1.0)
-    return jnp.where(x > 0, jnp.sqrt(safe), 0.0)
+    out = jnp.where(x > 0, jnp.sqrt(safe), 0.0)
+    return jnp.where(jnp.isnan(x), x, out)
 
 
 def safe_div(num, denom):

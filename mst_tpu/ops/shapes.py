@@ -69,17 +69,32 @@ def combine(x, axis: int = 1, mask=None, safe: bool = True):
         x = x * m
     num = (x * norm).sum(axis=axis)
     denom = norm.sum(axis=tuple(range(1, x.ndim)))  # per-batch scalar
+    if mask is not None:
+        # a fully-masked row (no valid slices at all) yields a zero embedding
+        # rather than 0/0
+        denom = jnp.where(denom > 0, denom, 1.0)
     denom_shape = [denom.shape[0]] + [1] * (num.ndim - 1)
     return num / denom.reshape(denom_shape)
 
 
-def combine_pair(a, b):
+def combine_pair(a, b, b_mask=None):
     """combine() of two stacked tensors (parity: model.py:796-804 with
-    ``combine(t1, t2)`` — stack on a new axis 0, norms per (tensor, batch))."""
+    ``combine(t1, t2)`` — stack on a new axis 0, norms per (tensor, batch)).
+
+    ``b_mask``: optional (B,) validity of ``b`` per batch row. Masked rows
+    return ``a`` exactly — in a mixed batch, a song without percussion must
+    see only its pitched embedding, as the reference (which never feeds an
+    absent tensor) would."""
     x = jnp.stack([a, b])  # (2, B, ...)
+    if b_mask is not None:
+        b_m = b_mask.astype(a.dtype)
+        gate = jnp.stack([jnp.ones_like(b_m), b_m])  # (2, B)
+        x = x * gate.reshape(gate.shape + (1,) * (x.ndim - 2))
     norm_axes = tuple(range(2, x.ndim))
     sq = (x * x).sum(axis=norm_axes, keepdims=True)
     norm = jnp.sqrt(1.0 + sq)
+    if b_mask is not None:
+        norm = norm * gate.reshape(gate.shape + (1,) * (norm.ndim - 2))
     num = (x * norm).sum(axis=0)
     denom = norm.sum(axis=(0,) + tuple(range(2, x.ndim)))  # (B,1,..)? -> (B,)
     denom = denom.reshape([num.shape[0]] + [1] * (num.ndim - 1))

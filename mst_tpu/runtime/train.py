@@ -126,9 +126,14 @@ def loss_fn(model: StyleTransferModel, params, batch: Batch,
 
 
 def make_train_step(model: StyleTransferModel, config: Config,
-                    has_unpitched: bool):
+                    has_unpitched: bool, fetch_losses: bool = True):
     """One micro-step: grad, accumulate (sum), apply Adam every ``iter_size``
-    micro-steps with the decayed learning rate. Fully jit-compatible."""
+    micro-steps with the decayed learning rate. Fully jit-compatible.
+
+    With ``fetch_losses=False`` the returned losses are the raw device vector
+    (convert later with ``LossDict(*np.asarray(vec))``) — the caller can defer
+    the host fetch one iteration so it overlaps the next step's compute
+    instead of synchronizing every step."""
     opt = make_optimizer(config)
     iter_size = config.train.iter_size
 
@@ -164,6 +169,8 @@ def make_train_step(model: StyleTransferModel, config: Config,
         return new_state, jnp.stack(tuple(losses))
 
     jitted = jax.jit(step, donate_argnums=(0,))
+    if not fetch_losses:
+        return jitted
 
     def wrapped(state: TrainState, batch: Batch):
         new_state, vec = jitted(state, batch)

@@ -163,3 +163,63 @@ def test_device_batch_matches_pad_batch_multisong(example_midis):
             continue
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                       err_msg=field)
+
+
+def test_mixed_unpitched_batch_is_finite_and_row_consistent(example_midis):
+    """A batch mixing songs WITH and WITHOUT percussion must produce finite
+    losses, and a no-percussion row's latents must equal the same song run
+    through the unpitched=None path (regression: all-masked channel combine
+    divided 0/0 and poisoned the whole batch with NaNs that safe_sqrt then
+    silently zeroed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mst_tpu.config import Config
+    from mst_tpu.data.pipeline import get_input
+    from mst_tpu.io import load_midi_from_file
+    from mst_tpu.models import StyleTransferModel
+    from mst_tpu.ops.events import read_midi
+    from mst_tpu.runtime.train import (
+        create_train_state, device_batch_from_songs, make_train_step)
+
+    songs = []
+    for name in ("Beat It.4.mid",  # has percussion
+                 "Nocturne No. 1 in E minor, Op. 72_ Andante.mid"):  # none
+        path = [p for p in example_midis if p.name == name][0]
+        channels, info = read_midi(load_midi_from_file(path))
+        songs.append(get_input(channels, info))
+    assert songs[0].unpitched is not None and songs[1].unpitched is None
+
+    batch = device_batch_from_songs(songs, 8, 64, bar_cap=[40, 40],
+                                    use_pallas=False)
+    assert float(np.asarray(batch.uchannel_mask)[1].max()) == 0.0
+
+    config = Config()
+    model = StyleTransferModel(config=config.model)
+    state = create_train_state(model, config, batch, jax.random.PRNGKey(0))
+    params = state.params
+
+    # the no-percussion row equals its own unpitched=None forward
+    # (run before the train step: the step donates the params buffers)
+    style_mix, melody_mix, rhythm_mix = model.apply(
+        params, batch.mode, batch.bpm, batch.pitched,
+        batch.instruments_features, batch.unpitched,
+        bar_lengths=batch.bar_lengths, channel_mask=batch.channel_mask,
+        uchannel_mask=batch.uchannel_mask,
+        method=StyleTransferModel.extract_style)
+    style_solo, melody_solo, rhythm_solo = model.apply(
+        params, batch.mode[1:], batch.bpm[1:], batch.pitched[1:],
+        batch.instruments_features[1:], None,
+        bar_lengths=batch.bar_lengths[1:], channel_mask=batch.channel_mask[1:],
+        uchannel_mask=None, method=StyleTransferModel.extract_style)
+    np.testing.assert_allclose(np.asarray(style_mix[1]),
+                               np.asarray(style_solo[0]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rhythm_mix[1]),
+                               np.asarray(rhythm_solo[0]), rtol=1e-4,
+                               atol=1e-5)
+
+    # finite losses through a real train step
+    step = make_train_step(model, config, has_unpitched=True)
+    state, losses = step(state, batch)
+    for name, v in zip(losses._fields, losses):
+        assert np.isfinite(v), (name, v)

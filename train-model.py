@@ -152,28 +152,10 @@ def main():
 
     batches = prefetch_iterator(batch_stream(),
                                 depth=config.train.prefetch_depth)
-    data_cursor = resume_cursor
-    for iteration in range(start_iteration, config.train.n_iterations):
-        data_cursor, batch = next(batches)
-        if batch is None:
-            continue
-        has_unpitched = batch.unpitched is not None
-        if state is None:
-            state = create_train_state(model, config, batch, rng)
-            if args.resume and start_iteration:
-                state = checkpoints.restore(state)
+    from mst_tpu.ops.losses import LossDict
 
-        key = has_unpitched
-        if key not in step_fns:
-            step_fns[key] = make_train_step(model, config, has_unpitched)
-        if args.profile_dir and iteration == 10:
-            jax.profiler.start_trace(args.profile_dir)
-        from mst_tpu.ops.seq_context import sequence_sharding
-        with sequence_sharding(mesh):  # no-op when mesh is None or seq==1
-            state, losses = step_fns[key](state, batch)
-        if args.profile_dir and iteration == 15:
-            jax.profiler.stop_trace()
-
+    def record(iteration, loss_vec, has_unpitched):
+        losses = LossDict(*[float(v) for v in np.asarray(loss_vec)])
         values = dict(
             total_loss=float(losses.total),
             pitched_loss=float(losses.pitched_total),
@@ -187,13 +169,48 @@ def main():
         if has_unpitched:
             values.update(unpitched_loss=float(losses.unpitched_total),
                           unpitched_notes_loss=float(losses.unpitched_notes))
-        assert not np.isnan(values["total_loss"])  # parity: train-model.py:125
+        # parity: train-model.py:125, widened to every component — a NaN in
+        # one branch must never hide behind a zeroed mean
+        assert all(np.isfinite(v) for v in values.values()), values
         pbar.add(1, **values)
         logger.append(iteration=iteration, **flatten_losses(losses))
+
+    data_cursor = resume_cursor
+    pending = None  # (iteration, device loss vector, has_unpitched)
+    for iteration in range(start_iteration, config.train.n_iterations):
+        data_cursor, batch = next(batches)
+        if batch is None:
+            continue
+        has_unpitched = batch.unpitched is not None
+        if state is None:
+            state = create_train_state(model, config, batch, rng)
+            if args.resume and start_iteration:
+                state = checkpoints.restore(state)
+
+        key = has_unpitched
+        if key not in step_fns:
+            step_fns[key] = make_train_step(model, config, has_unpitched,
+                                            fetch_losses=False)
+        if args.profile_dir and iteration == 10:
+            jax.profiler.start_trace(args.profile_dir)
+        from mst_tpu.ops.seq_context import sequence_sharding
+        with sequence_sharding(mesh):  # no-op when mesh is None or seq==1
+            state, loss_vec = step_fns[key](state, batch)
+        if args.profile_dir and iteration == 15:
+            jax.profiler.stop_trace()
+
+        # materialize the PREVIOUS iteration's losses: the host fetch then
+        # overlaps this iteration's device compute instead of synchronizing
+        # every step
+        if pending is not None:
+            record(*pending)
+        pending = (iteration, loss_vec, has_unpitched)
 
         if iteration % config.train.save_interval == 0:
             checkpoints.save(iteration, state, cursor=data_cursor)
 
+    if pending is not None:
+        record(*pending)
     pbar.close()
     checkpoints.close()
 
