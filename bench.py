@@ -11,7 +11,11 @@ and per-song .mid decode/synthesis. Steady-state timing (the first run pays
 jit compiles and is excluded); the unit is one full composition->styled-song
 pipeline.
 
-Line 2 measures the jitted train step (forward + backward + accumulate +
+Line 2 measures unamortized single-request latency (transfer_style on ONE
+composition) — the north star's '<1 s per full song' is a latency target,
+so the batch-amortized line 1 alone would overstate it.
+
+Line 3 measures the jitted train step (forward + backward + accumulate +
 Adam, runtime/train.py) at the standard (8-channel, 128-bar) shape bucket
 with the device-rasterized data path, including the per-step loss fetch the
 real training loop pays.
@@ -101,6 +105,25 @@ def bench_transfer(bundle):
     return 1.0 / per_song
 
 
+def bench_single_song(bundle):
+    """Unamortized single-request latency: ONE composition, one style, via the
+    same public path (transfer_style, B=1) — the north star's '<1 s per full
+    song' is a latency target, and batch-amortized throughput alone would
+    overstate it."""
+    from mst_tpu.transfer import transfer_style
+
+    def run(out_dir):
+        return transfer_style(bundle, COMPOSITIONS[0], [STYLE], out_dir)
+
+    run("/tmp/bench_single_warmup")  # pays the B=1 shape-group compiles
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        run(f"/tmp/bench_single_{i}")
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
 def bench_train_step(bundle):
     import jax
     from mst_tpu.config import Config
@@ -137,6 +160,16 @@ def main():
         "value": round(songs_per_sec, 4),
         "unit": "songs/sec/chip",
         "vs_baseline": round(songs_per_sec / TARGET_SONGS_PER_SEC, 4),
+    }))
+
+    single_latency = bench_single_song(bundle)
+    print(json.dumps({
+        "metric": "single_song_transfer_latency",
+        "value": round(single_latency, 4),
+        "unit": "sec/song",
+        # north star: <1 s per full song — vs_baseline > 1 means faster
+        "vs_baseline": round(1.0 / (single_latency *
+                                    TARGET_SONGS_PER_SEC), 4),
     }))
 
     steps_per_sec = bench_train_step(bundle)

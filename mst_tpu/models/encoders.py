@@ -79,7 +79,8 @@ class PitchedChannelsEncoder(nn.Module):
         x = Dense(self.beat_size, name="linear")(x)
         x = leaky_relu(x)
         beats = _flatten_call(
-            lambda y: LSTM(self.beat_size, name="beats_lstm")(y)[0], x, keep=3)
+            lambda y: LSTM(self.beat_size, name="beats_lstm",
+                           seq_candidate=False)(y)[0], x, keep=3)
 
         x = beats[:, :, :, -1]                        # last beat per bar
         x = combine(x, axis=1, mask=channel_mask)      # pool channels
@@ -103,7 +104,8 @@ class UnpitchedChannelsEncoder(nn.Module):
         x = Dense(self.beat_size, name="linear")(x)
         x = leaky_relu(x)
         beats = _flatten_call(
-            lambda y: LSTM(self.beat_size, name="beats_lstm")(y)[0], x, keep=3)
+            lambda y: LSTM(self.beat_size, name="beats_lstm",
+                           seq_candidate=False)(y)[0], x, keep=3)
 
         x = beats[:, :, :, -1]
         x = combine(x, axis=1, mask=channel_mask)

@@ -47,7 +47,8 @@ class SongInfoModel(nn.Module):
         beats_size = mean_size(N_BEAT_FRACTIONS * r, self.n_rhythm_features,
                                factor=0.05)
         flat = x.reshape((B * R,) + x.shape[2:])
-        out, _ = LSTM(beats_size, name="beats_lstm")(flat)
+        out, _ = LSTM(beats_size, name="beats_lstm",
+                      seq_candidate=False)(flat)
         x = out.reshape((B, R) + out.shape[1:])[:, :, -1]  # last beat
         out, _ = LSTM(self.n_rhythm_features, name="bars_lstm")(x)
         rhythm_features = (out[:, -1] if bar_lengths is None

@@ -75,12 +75,16 @@ class LSTMCellParams(nn.Module):
         return w_ih, w_hh, b_ih + b_hh
 
 
-def _lstm_scan(x, w_ih, w_hh, b, reverse: bool = False):
+def _lstm_scan(x, w_ih, w_hh, b, reverse: bool = False,
+               seq_candidate: bool = True):
     """x: (N, T, D) -> outputs (N, T, H); scan is time-major internally.
 
     Under an active sequence-sharding context (ops.seq_context) a long-enough
     time axis runs as the pipelined seq-sharded recurrence instead — the input
-    projection is global either way."""
+    projection is global either way. ``seq_candidate=False`` marks scans whose
+    time axis is local by design (beat-axis scans: T = beats-per-bar, always
+    tiny) so they never trigger the dense-fallback warning meant for bar-axis
+    recurrences."""
     n, t, _ = x.shape
     h_dim = w_hh.shape[0]
     gates_x = jnp.einsum("ntd,dk->ntk", x, w_ih) + b  # one MXU matmul
@@ -94,7 +98,8 @@ def _lstm_scan(x, w_ih, w_hh, b, reverse: bool = False):
             from mst_tpu.parallel.seq_lstm import seq_sharded_scan
             return seq_sharded_scan(gates_x, w_hh, mesh, axis,
                                     reverse=reverse)
-        _warn_dense_fallback(t, n_shards)
+        if seq_candidate:
+            _warn_dense_fallback(t, n_shards)
 
     gates_x = jnp.swapaxes(gates_x, 0, 1)  # (T, N, 4H)
     if reverse:
@@ -124,15 +129,19 @@ class LSTM(nn.Module):
 
     Equivalent to the reference's LSTM wrapper (utils/pytorch.py:19-25); the
     final hidden state is ``outputs[:, -1]`` (or ``masked_last`` with lengths).
+
+    ``seq_candidate``: set False on scans whose time axis is local by design
+    (beat-axis scans) so a dense fallback under sequence sharding stays silent.
     """
 
     features: int
+    seq_candidate: bool = True
 
     @nn.compact
     def __call__(self, x, lengths: Optional[jnp.ndarray] = None):
         w_ih, w_hh, b = LSTMCellParams(self.features, x.shape[-1],
                                        name="cell")()
-        out = _lstm_scan(x, w_ih, w_hh, b)
+        out = _lstm_scan(x, w_ih, w_hh, b, seq_candidate=self.seq_candidate)
         if lengths is None:
             last = out[:, -1]
         else:
@@ -149,6 +158,7 @@ class BiLSTM(nn.Module):
     """
 
     features: int
+    seq_candidate: bool = True
 
     @nn.compact
     def __call__(self, x, lengths: Optional[jnp.ndarray] = None):
@@ -156,10 +166,13 @@ class BiLSTM(nn.Module):
                                              name="fwd")()
         w_ih_b, w_hh_b, b_b = LSTMCellParams(self.features, x.shape[-1],
                                              name="bwd")()
-        fwd = _lstm_scan(x, w_ih_f, w_hh_f, b_f)
+        sc = self.seq_candidate
+        fwd = _lstm_scan(x, w_ih_f, w_hh_f, b_f, seq_candidate=sc)
         if lengths is None:
-            bwd = _lstm_scan(x, w_ih_b, w_hh_b, b_b, reverse=True)
+            bwd = _lstm_scan(x, w_ih_b, w_hh_b, b_b, reverse=True,
+                             seq_candidate=sc)
         else:
             flipped = masked_flip(x, lengths)
-            bwd = masked_flip(_lstm_scan(flipped, w_ih_b, w_hh_b, b_b), lengths)
+            bwd = masked_flip(_lstm_scan(flipped, w_ih_b, w_hh_b, b_b,
+                                         seq_candidate=sc), lengths)
         return jnp.concatenate([fwd, bwd], axis=-1)

@@ -85,7 +85,10 @@ class CsvLogger:
         self.path = path
 
     def append(self, **row):
-        save_to_csv(self.path, **row)
+        # pass the row via `data`, not **row: row keys named like
+        # save_to_csv's own parameters (path/data/fieldnames/when_exists)
+        # must land in the CSV, not collide with them
+        save_to_csv(self.path, data=[row])
 
 
 def flatten_losses(losses, prefix: str = "") -> Dict[str, float]:

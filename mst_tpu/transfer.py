@@ -572,7 +572,14 @@ def _apply_batch(bundle: ModelBundle, infos, style_mat, melody_mat,
         count_p = int(buf[:B, 4].max())
         count_u = int(buf[:B, 5].max())
         if count_p <= capacity and count_u <= capacity // 4:
-            bundle.capacity_hint = capacity
+            # remember the smallest tier the observed counts FIT in (not the
+            # tier used): the hint may step back down, so one dense batch
+            # doesn't permanently inflate every later fetch to the top tier
+            # (a too-small guess costs one extra dispatch; a too-big sticky
+            # hint would cost every future fetch)
+            bundle.capacity_hint = next(
+                c for c in COMPACT_CAPACITIES
+                if count_p <= c and count_u <= c // 4)
             break
     else:
         raise OverflowError(

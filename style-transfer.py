@@ -36,21 +36,23 @@ def main():
     from mst_tpu.transfer import ModelBundle, transfer_style
 
     model = StyleTransferModel()
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        params = jax.jit(model.init)(
-            jax.random.PRNGKey(args.seed), jnp.array([[1.0, 0.0]]),
-            jnp.array([120.0]), jnp.zeros((1, 1, 4, 4, 10, 56, 5)),
-            jnp.zeros((1, 1, 51)).at[0, 0, 0].set(1.0),
-            jnp.zeros((1, 1, 4, 4, 10, 47, 2)))
     if args.snapshots:
+        # load_trained_params builds its own init template, so the fresh-init
+        # path below (seconds of jitted CPU init) is skipped entirely
         from mst_tpu.runtime.checkpoint import load_trained_params
-        trained, step = load_trained_params(model, args.snapshots,
-                                            seed=args.seed)
-        if trained is None:
+        params, step = load_trained_params(model, args.snapshots,
+                                           seed=args.seed)
+        if params is None:
             raise SystemExit(f"no snapshots under {args.snapshots}")
-        params = trained
         print(f"loaded snapshot {step} from {args.snapshots}")
+    else:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params = jax.jit(model.init)(
+                jax.random.PRNGKey(args.seed), jnp.array([[1.0, 0.0]]),
+                jnp.array([120.0]), jnp.zeros((1, 1, 4, 4, 10, 56, 5)),
+                jnp.zeros((1, 1, 51)).at[0, 0, 0].set(1.0),
+                jnp.zeros((1, 1, 4, 4, 10, 47, 2)))
     params = jax.device_put(params, jax.devices()[0])
 
     bundle = ModelBundle(model=model, params=dict(params))

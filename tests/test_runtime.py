@@ -95,6 +95,18 @@ def test_csv_logger_append(tmp_path):
     assert len(lines) == 3
 
 
+def test_csv_logger_reserved_column_names(tmp_path):
+    # row keys that collide with save_to_csv's own parameter names must land
+    # in the CSV, not be swallowed or raise TypeError
+    from mst_tpu.runtime.metrics import CsvLogger
+    path = str(tmp_path / "log.csv")
+    logger = CsvLogger(path)
+    logger.append(path="song.mid", data=0.5, fieldnames=2, when_exists=3)
+    lines = open(path).read().strip().splitlines()
+    assert lines[0] == "path,data,fieldnames,when_exists"
+    assert lines[1] == "song.mid,0.5,2,3"
+
+
 def test_utils_parity():
     from mst_tpu.utils import (cross_entropy, flatten, group_by,
                                normalize_dist, round_number, save_to_csv,

@@ -207,6 +207,11 @@ def main():
         pending = (iteration, loss_vec, has_unpitched)
 
         if iteration % config.train.save_interval == 0:
+            # drain the deferred fetch first: record() asserts every loss
+            # component is finite, so a NaN-poisoned state is never persisted
+            # (the loss of the step that produced `state` is still pending)
+            record(*pending)
+            pending = None
             checkpoints.save(iteration, state, cursor=data_cursor)
 
     if pending is not None:
