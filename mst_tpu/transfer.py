@@ -592,9 +592,14 @@ def apply_styles(bundle: ModelBundle, infos: Sequence[SongInfo], styles,
 
 def _apply_batch(bundle: ModelBundle, infos, style_mat, melody_mat,
                  rhythm_mat, style_idx, comp_idx, n_instruments_list,
-                 save_paths, n_bars_list) -> None:
+                 save_paths, n_bars_list, host_work=None) -> None:
     """Run the fused apply program for B (style row, composition row) jobs
-    and decode each returned buffer to its .mid file."""
+    and decode each returned buffer to its .mid file.
+
+    ``host_work``: optional callable run AFTER the device program is
+    dispatched but BEFORE its result is fetched — host-side work (e.g.
+    decoding the original .mid files) overlaps the device compute instead of
+    serializing with it."""
     B = len(infos)
     Rb, T = rhythm_mat.shape[1], rhythm_mat.shape[2]
     Cb = _bucket(max(max(n_instruments_list), 1), CHANNEL_BUCKETS)
@@ -623,9 +628,13 @@ def _apply_batch(bundle: ModelBundle, infos, style_mat, melody_mat,
                 and live_p <= blocks_p and live_u <= blocks_u)
 
     for capacity in ladder:
-        buf = np.asarray(bundle.fn(f"fused:{capacity}:{Cb}")(
+        buf_dev = bundle.fn(f"fused:{capacity}:{Cb}")(
             bundle.params, style_mat, melody_mat, rhythm_mat,
-            style_idx, comp_idx, n_inst, bars, tpb))
+            style_idx, comp_idx, n_inst, bars, tpb)
+        if host_work is not None:
+            host_work()          # overlaps the async device dispatch above
+            host_work = None
+        buf = np.asarray(buf_dev)
         count_p = int(buf[:B, 4].max())
         count_u = int(buf[:B, 5].max())
         live_p = int(buf[:B, 6].max())
@@ -772,8 +781,14 @@ def transfer_styles(bundle: ModelBundle, composition_paths, style_paths,
     of a shape group run as ONE fused device program + one fetch — the
     per-song dispatch overhead of the remote link is amortized across the
     whole workload."""
-    comps = [get_model_input(p)[1] for p in composition_paths]
-    style_songs = [get_model_input(p)[1] for p in style_paths]
+    # threaded ingestion: parsing/quantization is numpy + the C++ codec,
+    # which release the GIL for the bulk of the work
+    from concurrent.futures import ThreadPoolExecutor
+    all_paths = list(composition_paths) + list(style_paths)
+    with ThreadPoolExecutor(max_workers=min(8, len(all_paths))) as pool:
+        songs = [s for _, s in pool.map(get_model_input, all_paths)]
+    comps = songs[:len(composition_paths)]
+    style_songs = songs[len(composition_paths):]
     batches, locators = extract_styles(bundle, comps + style_songs)
     comp_loc = locators[:len(comps)]
     style_loc = locators[len(comps):]
@@ -787,31 +802,37 @@ def transfer_styles(bundle: ModelBundle, composition_paths, style_paths,
         return int(style_offset[loc[0]]) + loc[1]
 
     written_per_comp = [[] for _ in comps]
-    # originals: host-side decode of the ingested tensors
     names = [os.path.splitext(os.path.basename(str(p)))[0]
              for p in composition_paths]
     style_names = [os.path.splitext(os.path.basename(str(p)))[0]
                    for p in style_paths]
-    style_original_bytes = [None] * len(style_songs)
-    for i, comp in enumerate(comps):
-        out_dir = os.path.join(str(output_path), names[i])
-        original = os.path.join(out_dir, f"original/{names[i]}.mid")
-        save_channels(Rasterizer(comp.info), comp.pitched, comp.unpitched,
-                      comp.instruments, original)
-        written_per_comp[i].append(original)
-        for j, style_song in enumerate(style_songs):
-            path = os.path.join(out_dir, f"original/{style_names[j]}.mid")
-            if style_original_bytes[j] is None:
-                # decode each style original ONCE; later comps get a byte copy
-                save_channels(Rasterizer(style_song.info), style_song.pitched,
-                              style_song.unpitched, style_song.instruments,
-                              path)
-                with open(path, "rb") as fh:
-                    style_original_bytes[j] = fh.read()
-            else:
-                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-                with open(path, "wb") as fh:
-                    fh.write(style_original_bytes[j])
+
+    def decode_originals():
+        """Host-side decode of the ingested tensors to the original/ files —
+        deferred so it overlaps the fused apply's device compute."""
+        style_original_bytes = [None] * len(style_songs)
+        for i, comp in enumerate(comps):
+            out_dir = os.path.join(str(output_path), names[i])
+            original = os.path.join(out_dir, f"original/{names[i]}.mid")
+            save_channels(Rasterizer(comp.info), comp.pitched, comp.unpitched,
+                          comp.instruments, original)
+            for j, style_song in enumerate(style_songs):
+                path = os.path.join(out_dir, f"original/{style_names[j]}.mid")
+                if style_original_bytes[j] is None:
+                    # decode each style original ONCE; later comps copy bytes
+                    save_channels(Rasterizer(style_song.info),
+                                  style_song.pitched, style_song.unpitched,
+                                  style_song.instruments, path)
+                    with open(path, "rb") as fh:
+                        style_original_bytes[j] = fh.read()
+                else:
+                    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                    with open(path, "wb") as fh:
+                        fh.write(style_original_bytes[j])
+
+    for i in range(len(comps)):
+        written_per_comp[i].append(os.path.join(
+            str(output_path), names[i], f"original/{names[i]}.mid"))
 
     # apply jobs, grouped by the composition's latent batch (shared Rb/T)
     jobs_per_group = {}
@@ -837,9 +858,14 @@ def transfer_styles(bundle: ModelBundle, composition_paths, style_paths,
                 os.path.join(out_dir, f"original/{style_names[j]}.mid"))
             written_per_comp[i].append(path)
 
+    host_work = decode_originals
     for g, jobs in jobs_per_group.items():
         s_idx, c_idx, infos, n_inst, bars, paths = zip(*jobs)
         _apply_batch(bundle, list(infos), style_mat, batches[g].melody,
                      batches[g].rhythm, list(s_idx), list(c_idx),
-                     list(n_inst), list(paths), list(bars))
+                     list(n_inst), list(paths), list(bars),
+                     host_work=host_work)
+        host_work = None
+    if host_work is not None:  # no apply jobs at all
+        host_work()
     return [p for per_comp in written_per_comp for p in per_comp]
