@@ -79,13 +79,26 @@ def create_train_state(model: StyleTransferModel, config: Config,
         host_batch = jax.tree_util.tree_map(
             lambda x: np.asarray(x) if x is not None else None, sample_batch,
             is_leaf=lambda x: x is None)
+        # ALWAYS init with an unpitched input: flax only creates params for
+        # executed branches, so seeding from a percussion-free first song
+        # would build a TrainState missing the unpitched encoder/applier and
+        # the first percussion song of the run would crash with
+        # ScopeParamNotFoundError. A zero dummy exercises the branch; the
+        # per-module param RNG streams are path-keyed, so pitched params are
+        # unchanged.
+        unpitched = host_batch.unpitched
+        umask = host_batch.uchannel_mask
+        if unpitched is None:
+            B, _, R, T = host_batch.pitched.shape[:4]
+            unpitched = np.zeros((B, 1, R, T, 10, 47, 2), np.float32)
+            umask = np.ones((B, 1), np.float32)
         # jit the init: one compiled program instead of hundreds of eager ops
         params = jax.jit(model.init)(
             rng, host_batch.mode, host_batch.bpm, host_batch.pitched,
-            host_batch.instruments_features, host_batch.unpitched,
+            host_batch.instruments_features, unpitched,
             bar_lengths=host_batch.bar_lengths,
             channel_mask=host_batch.channel_mask,
-            uchannel_mask=host_batch.uchannel_mask)
+            uchannel_mask=umask)
         opt = make_optimizer(config)
         opt_state = opt.init(params)
         zeros = jax.tree_util.tree_map(jnp.zeros_like, params)

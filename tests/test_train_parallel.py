@@ -28,6 +28,29 @@ def _tiny_batch(B=1, C=1, R=3, T=4, seed=0):
         channel_mask=jnp.ones((B, C), jnp.float32), uchannel_mask=None)
 
 
+def test_init_from_percussion_free_song_trains_percussion_song():
+    """Regression: a run whose FIRST song has no percussion must still train
+    later percussion songs — create_train_state seeds the unpitched branch
+    with a dummy input, since flax only creates params for executed paths."""
+    config = Config()
+    model = StyleTransferModel(config=config.model)
+    no_perc = _tiny_batch()                    # unpitched=None
+    state = create_train_state(model, config, no_perc, jax.random.PRNGKey(0))
+    assert "unpitched_channels_encoder" in state.params["params"]
+
+    B, C, R, T = no_perc.pitched.shape[:4]
+    rng = np.random.default_rng(3)
+    unpitched = (rng.random((B, 1, R, T, 10, 47, 2)) *
+                 (rng.random((B, 1, R, T, 10, 47, 1)) > 0.9)).astype(
+                     np.float32)
+    perc = no_perc._replace(unpitched=jnp.asarray(unpitched),
+                            uchannel_mask=jnp.ones((B, 1), jnp.float32))
+    step = make_train_step(model, config, has_unpitched=True)
+    state, losses = step(state, perc)
+    assert np.isfinite(float(losses.total))
+    assert np.isfinite(float(losses.unpitched_notes))
+
+
 def test_train_step_accumulation_and_apply():
     """Params change only every iter_size micro-steps; grads are summed."""
     config = Config()
