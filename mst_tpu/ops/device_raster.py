@@ -167,14 +167,7 @@ def device_rasterize_song(rasterizer: Rasterizer, note_arrays, pitched: bool,
     dn = concat_and_pad(parts)
     n_rows = n_channels * n_bars * T * F10
 
-    if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
-    if use_pallas:
-        from mst_tpu.ops.pallas_raster import pallas_rasterize
-        flat = pallas_rasterize(dn, n_rows, n_notes, n_feat)
-    else:
-        flat = _jit_segment(dn.row, dn.note_idx, dn.acc, dn.duration,
-                            dn.velocity, dn.valid, n_rows, n_notes, n_feat)
+    flat = _rasterize_flat(dn, n_rows, n_notes, n_feat, use_pallas)
     return flat.reshape(n_channels, n_bars, T, F10, n_notes, n_feat)
 
 
@@ -208,15 +201,26 @@ def device_rasterize_batch(rasterizers, note_arrays_per_song, pitched: bool,
     dn = concat_and_pad(parts)
     n_rows = B * n_channels * n_bars * T * F10
 
-    if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
-    if use_pallas:
-        from mst_tpu.ops.pallas_raster import pallas_rasterize
-        flat = pallas_rasterize(dn, n_rows, n_notes, n_feat)
-    else:
-        flat = _jit_segment(dn.row, dn.note_idx, dn.acc, dn.duration,
-                            dn.velocity, dn.valid, n_rows, n_notes, n_feat)
+    flat = _rasterize_flat(dn, n_rows, n_notes, n_feat, use_pallas)
     return flat.reshape(B, n_channels, n_bars, T, F10, n_notes, n_feat)
+
+
+def _rasterize_flat(dn, n_rows: int, n_notes: int, n_feat: int,
+                    use_pallas: Optional[bool]) -> jnp.ndarray:
+    """Route to the Pallas kernel (TPU, note count within its VMEM budget) or
+    the bit-identical jnp scatter path. The Pallas kernel's (n, 1) VMEM note
+    blocks lane-pad 128x (Mosaic supports dynamic indexing only on sublanes),
+    so beyond MAX_PALLAS_NOTES it compile-time-OOMs the 16 MB scoped VMEM —
+    big note batches take the scatter, whose cost scales with n anyway."""
+    from mst_tpu.ops.pallas_raster import MAX_PALLAS_NOTES, pallas_rasterize
+
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() not in ("cpu",)
+                      and dn.row.shape[0] <= MAX_PALLAS_NOTES)
+    if use_pallas:
+        return pallas_rasterize(dn, n_rows, n_notes, n_feat)
+    return _jit_segment(dn.row, dn.note_idx, dn.acc, dn.duration,
+                        dn.velocity, dn.valid, n_rows, n_notes, n_feat)
 
 
 from functools import partial

@@ -14,6 +14,13 @@ Notes arrive sorted by row; per-chunk note ranges are scalar-prefetched so a
 program only loops over its own notes (PrefetchScalarGridSpec). Padding/invalid
 notes carry a sentinel row beyond every chunk and are never touched.
 
+The note arrays live in VMEM as (n, 1) blocks: Mosaic only supports dynamic
+indexing on sublanes, so the minor (lane) dim must stay 1 — which VMEM pads
+1 -> 128 (128x). That caps the note count the kernel can hold: above
+``MAX_PALLAS_NOTES`` the scoped-VMEM budget blows (compile-time OOM at 32k
+notes on the v5e) and callers route to the bit-identical jnp scatter path
+(ops.device_raster.segment_rasterize) instead.
+
 Collision semantics are identical to the host scatter
 (midi_conversion.py:490-516) and to ops.device_raster.segment_rasterize, which
 is the cross-checked reference implementation.
@@ -31,6 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROW_CHUNK = 512
 SENTINEL_ROW = 2 ** 30
+# (n,1) VMEM blocks lane-pad 128x: five arrays at 16384 notes = ~8.4 MB each,
+# the most the 16 MB scoped-VMEM budget tolerates (32k OOMs at compile time)
+MAX_PALLAS_NOTES = 16384
 
 
 def _round_up(x: int, m: int) -> int:
@@ -75,21 +85,12 @@ def _pallas_call(bounds, rows, lane0, acc_lane, duration, velocity,
     n_chunks = padded_rows // ROW_CHUNK
     n = rows.shape[0]
 
+    note_spec = pl.BlockSpec((n, 1), lambda j, b: (0, 0),
+                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((n, 1), lambda j, b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda j, b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda j, b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda j, b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda j, b: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[note_spec] * 5,
         out_specs=pl.BlockSpec((ROW_CHUNK, lanes), lambda j, b: (j, 0),
                                memory_space=pltpu.VMEM),
     )
@@ -115,6 +116,8 @@ def pallas_rasterize(device_notes, n_rows: int, n_notes: int, n_feat: int,
         acc_lane = (lane0 + 2 + dn.acc).astype(np.int32)
     else:
         acc_lane = np.full_like(lane0, -1)
+    duration = np.asarray(dn.duration, np.float32)
+    velocity = np.asarray(dn.velocity, np.float32)
     padded_rows = _round_up(max(n_rows, 1), ROW_CHUNK)
     edges = np.arange(0, padded_rows + 1, ROW_CHUNK)
     bounds = np.searchsorted(rows, edges, side="left").astype(np.int32)
@@ -122,6 +125,6 @@ def pallas_rasterize(device_notes, n_rows: int, n_notes: int, n_feat: int,
         interpret = jax.default_backend() == "cpu"
     return _pallas_call(
         jnp.asarray(bounds), jnp.asarray(rows), jnp.asarray(lane0),
-        jnp.asarray(acc_lane), jnp.asarray(dn.duration),
-        jnp.asarray(dn.velocity), n_rows=n_rows, n_notes=n_notes,
+        jnp.asarray(acc_lane), jnp.asarray(duration),
+        jnp.asarray(velocity), n_rows=n_rows, n_notes=n_notes,
         n_feat=n_feat, interpret=bool(interpret))
