@@ -55,10 +55,14 @@ def render_notes(notes: NoteArray, ticks_per_beat: int, tempo: int,
                     wave += amp * np.sin(2 * np.pi * f * t)
         else:
             # noise burst with a crude per-drum tilt: higher notes -> brighter
+            from scipy.signal import lfilter
             wave = rng.standard_normal(n)
             alpha = min(0.95, 0.3 + 0.01 * int(notes.note_id[i]))
-            for j in range(1, n):  # one-pole filter
-                wave[j] = alpha * wave[j] + (1 - alpha) * wave[j - 1]
+            # one-pole y[j] = alpha*x[j] + (1-alpha)*y[j-1], y[0] = x[0]
+            # (vectorized: the per-sample Python loop made drum-heavy songs
+            # take minutes to render)
+            wave = lfilter([alpha], [1.0, -(1.0 - alpha)], wave,
+                           zi=np.array([(1.0 - alpha) * wave[0]]))[0]
         seg = wave * env * float(notes.velocity[i])
         out[start:start + n] += seg[:max(0, len(out) - start)]
     peak = np.abs(out).max()
