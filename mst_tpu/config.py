@@ -80,6 +80,9 @@ class TrainConfig:
 
     n_iterations: int = 5000
     iter_size: int = 2             # gradient-accumulation span (summed, not averaged)
+    remat: bool = False            # rematerialize the forward in backward
+    #   (jax.checkpoint): trades ~1.3-1.5x step FLOPs for activation memory,
+    #   letting bigger (batch, channel, bar) buckets train within HBM
     learning_rate: float = 1e-2
     lr_decay_every: int = 200      # optimizer steps between decays (StepLR step_size)
     lr_decay_gamma: float = 0.9
@@ -93,6 +96,11 @@ class TrainConfig:
     prefetch_depth: int = 2        # host->HBM double buffering depth
     bar_buckets: Tuple[int, ...] = (64, 128, 256, 512, 800)
     channel_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16)
+    # batched training only: cap B*C_bucket*R_bucket*T so one padded batch's
+    # activations fit HBM (8 songs x 8 channels x 128 bars x 4 beats — the
+    # measured-good v5e shape; (8,8,256,4) OOMs a 16 GB chip). Songs beyond
+    # the cap truncate, consistent with the reference's max_total_bars rule.
+    batch_cell_budget: int = 8 * 8 * 128 * 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -155,6 +155,10 @@ def make_train_step(model: StyleTransferModel, config: Config,
             losses = loss_fn(model, params, batch, has_unpitched)
             return losses.total, losses
 
+        if config.train.remat:
+            # recompute the forward during backward instead of saving
+            # activations — the TPU HBM lever for big (B, C, R) buckets
+            scalar_loss = jax.checkpoint(scalar_loss)
         (loss, losses), grads = jax.value_and_grad(
             scalar_loss, has_aux=True)(state.params)
         accum = jax.tree_util.tree_map(jnp.add, state.accum_grads, grads)
@@ -224,6 +228,18 @@ def bucket_shape(n: int, buckets) -> int:
         if n <= b:
             return b
     return n
+
+
+def clamp_bar_bucket(Rb: int, B: int, Cb: int, T: int, budget: int,
+                     bar_buckets) -> int:
+    """Largest bar bucket with B*Cb*Rb*T within the HBM cell budget
+    (TrainConfig.batch_cell_budget); floors to a bucket so jit shapes stay
+    bucketed. Returns Rb unchanged when it already fits."""
+    allowed = budget // max(B * Cb * T, 1)
+    if Rb <= allowed:
+        return Rb
+    fitting = [b for b in bar_buckets if b <= allowed]
+    return fitting[-1] if fitting else max(allowed, 1)
 
 
 def device_batch_from_song(song: Song, max_channels: int, max_bars: int,

@@ -51,6 +51,44 @@ def test_init_from_percussion_free_song_trains_percussion_song():
     assert np.isfinite(float(losses.unpitched_notes))
 
 
+def test_remat_step_matches_plain_step():
+    """--remat (jax.checkpoint) changes memory, not math: losses and the
+    updated state match the plain step to float tolerance."""
+    import dataclasses
+    config = Config()
+    remat_cfg = dataclasses.replace(
+        config, train=dataclasses.replace(config.train, remat=True))
+    model = StyleTransferModel(config=config.model)
+    batch = _tiny_batch()
+    state_a = create_train_state(model, config, batch, jax.random.PRNGKey(0))
+    state_b = create_train_state(model, remat_cfg, batch,
+                                 jax.random.PRNGKey(0))
+    step_a = make_train_step(model, config, has_unpitched=False)
+    step_b = make_train_step(model, remat_cfg, has_unpitched=False)
+    state_a, losses_a = step_a(state_a, batch)
+    state_b, losses_b = step_b(state_b, batch)
+    assert np.isclose(losses_a.total, losses_b.total, rtol=1e-6)
+    ga = jax.tree_util.tree_leaves(state_a.accum_grads)
+    gb = jax.tree_util.tree_leaves(state_b.accum_grads)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_clamp_bar_bucket():
+    from mst_tpu.runtime.train import clamp_bar_bucket
+    buckets = (64, 128, 256, 512, 800)
+    budget = 8 * 8 * 128 * 4
+    # fits: unchanged
+    assert clamp_bar_bucket(128, 8, 8, 4, budget, buckets) == 128
+    # (8, 8, 256, 4) exceeds: floors to 128
+    assert clamp_bar_bucket(256, 8, 8, 4, budget, buckets) == 128
+    # fewer channels buy more bars
+    assert clamp_bar_bucket(512, 8, 2, 4, budget, buckets) == 512
+    # nothing fits: raw allowed count
+    assert clamp_bar_bucket(512, 64, 16, 4, budget, buckets) == 8
+
+
 def test_train_step_accumulation_and_apply():
     """Params change only every iter_size micro-steps; grads are summed."""
     config = Config()

@@ -37,6 +37,11 @@ def main():
                         help="songs per step (>1: padded fixed-shape batch, "
                              "data-parallel over all devices; the reference "
                              "trains one song per step)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize the forward in backward "
+                             "(jax.checkpoint): ~1.3-1.5x step FLOPs for a "
+                             "large activation-memory cut, enabling bigger "
+                             "batch/bar buckets within HBM")
     parser.add_argument("--seq-parallel", type=int, default=1,
                         help="shard the bar axis over this many devices "
                              "(pipelined LSTM recurrence; bar bucket must be "
@@ -61,7 +66,8 @@ def main():
         device_batch_from_song, make_train_step)
 
     config = Config(train=TrainConfig(n_iterations=args.iters, seed=args.seed,
-                                      save_interval=args.save_interval))
+                                      save_interval=args.save_interval,
+                                      remat=args.remat))
 
     print(f"Using {jax.devices()[0].platform}:{jax.devices()[0]}")
     print("Listing data files")
@@ -140,6 +146,15 @@ def main():
             Rb = bucket_shape(max(min(s.n_bars, c)
                                   for s, c in zip(group, caps)),
                               config.train.bar_buckets)
+            # HBM budget: cap the bar bucket so B*Cb*Rb*T activations fit
+            # (a (8,8,256,4) batch OOMs a 16 GB chip); truncation beyond the
+            # cap mirrors the reference's max_total_bars rule
+            from mst_tpu.runtime.train import clamp_bar_bucket
+            Rb = clamp_bar_bucket(Rb, len(group), Cb,
+                                  group[0].pitched.shape[2],
+                                  config.train.batch_cell_budget,
+                                  config.train.bar_buckets)
+            caps = [min(c, Rb) for c in caps]
             if args.exact_shapes:
                 batch = pad_batch(group, Cb, Rb, bar_cap=caps)
             else:
