@@ -38,8 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROW_CHUNK = 512
 SENTINEL_ROW = 2 ** 30
-# (n,1) VMEM blocks lane-pad 128x: five arrays at 16384 notes = ~8.4 MB each,
-# the most the 16 MB scoped-VMEM budget tolerates (32k OOMs at compile time)
+# (n,1) VMEM blocks lane-pad 128x (a 16384-note array = ~8.4 MB). The cap is
+# EMPIRICAL: 16384 notes compile and run on the v5e (shipped in the round-2
+# training campaigns); 32768 fails compile with a coalesced 32 MB scoped-VMEM
+# stack allocation against a 16 MB limit — the compiler evidently does not
+# keep all five buffers resident at once, so don't retune this from
+# first-principles budget math; bisect on hardware instead.
 MAX_PALLAS_NOTES = 16384
 
 

@@ -163,9 +163,31 @@ def _compact_song(dur, vel, acc, n_channels, n_bars, capacity, max_blocks):
             rec)  # (capacity, 2) uint32
 
 
+def _compact_song_dense(dur, vel, acc, n_channels, n_bars, capacity):
+    """Flat jnp.nonzero compaction — the escape hatch for pathologically
+    SPREAD rolls whose live-block count overflows even the top tier's routing
+    table while the record count itself fits. Slow (XLA lowers it to a full
+    scatter + reduce-window cumsums) but density-independent; only compiled
+    when a batch actually exhausts the block ladder. Bit-identical records."""
+    shape = vel.shape
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    valid = (c_idx < n_channels) & (r_idx < n_bars)
+    word = jnp.where(valid & (vel > 0),
+                     (dur.astype(jnp.uint32) << 16)
+                     | (vel.astype(jnp.uint32) << 8)
+                     | acc.astype(jnp.uint32), 0)
+    flat = word.reshape(-1)
+    count = (flat != 0).sum()
+    idx = jnp.nonzero(flat, size=capacity, fill_value=0)[0]
+    rec = jnp.stack([idx.astype(jnp.uint32), flat[idx]], axis=1)
+    return count.astype(jnp.uint32), jnp.zeros((), jnp.uint32), rec
+
+
 def _fused_transfer_apply(model, feature_table, params, style, melody, rhythm,
                           style_idx, comp_idx, n_instruments, bar_lengths,
-                          tpb, *, capacity, max_channels):
+                          tpb, *, capacity, max_channels,
+                          dense_compaction=False):
     """ONE device program for the whole style application of a BATCH of B
     jobs: latent gathers, song-info prediction, on-device instrument pick +
     feature gather, both appliers, packing, and sparse compaction — results
@@ -200,15 +222,23 @@ def _fused_transfer_apply(model, feature_table, params, style, melody, rhythm,
     dur_p, vel_p, acc_p = _pack_output(x_p, tpb_b)
     dur_u, vel_u, acc_u = _pack_output(x_u, tpb_b)
     blocks_p, blocks_u = _block_capacities(capacity)
-    count_p, live_p, rec_p = jax.vmap(
-        lambda d, v, a, nc, nb: _compact_song(d, v, a, nc, nb, capacity,
-                                              blocks_p))(
-            dur_p, vel_p, acc_p, n_picked, bar_lengths)
     cap_u = capacity // 4
-    count_u, live_u, rec_u = jax.vmap(
-        lambda d, v, a, nc, nb: _compact_song(d, v, a, nc, nb, cap_u,
-                                              blocks_u))(
-            dur_u, vel_u, acc_u, jnp.where(has_unpitched, 1, 0), bar_lengths)
+    if dense_compaction:
+        def compact_p(d, v, a, nc, nb):
+            return _compact_song_dense(d, v, a, nc, nb, capacity)
+
+        def compact_u(d, v, a, nc, nb):
+            return _compact_song_dense(d, v, a, nc, nb, cap_u)
+    else:
+        def compact_p(d, v, a, nc, nb):
+            return _compact_song(d, v, a, nc, nb, capacity, blocks_p)
+
+        def compact_u(d, v, a, nc, nb):
+            return _compact_song(d, v, a, nc, nb, cap_u, blocks_u)
+    count_p, live_p, rec_p = jax.vmap(compact_p)(
+        dur_p, vel_p, acc_p, n_picked, bar_lengths)
+    count_u, live_u, rec_u = jax.vmap(compact_u)(
+        dur_u, vel_u, acc_u, jnp.where(has_unpitched, 1, 0), bar_lengths)
 
     header = jnp.stack([
         jnp.round(bpm_pred).astype(jnp.uint32),
@@ -311,12 +341,13 @@ class ModelBundle:
                     raster_extract,
                     static_argnames=("B", "Cb", "Rb", "T", "has_unpitched"))
             elif key.startswith("fused"):
-                _, cap, cb = key.split(":")
+                _, cap, cb, *rest = key.split(":")
                 from mst_tpu.data.taxonomy import category_feature_table
                 table = jnp.asarray(category_feature_table())
                 self._jitted[key] = jax.jit(functools.partial(
                     _fused_transfer_apply, self.model, table,
-                    capacity=int(cap), max_channels=int(cb)))
+                    capacity=int(cap), max_channels=int(cb),
+                    dense_compaction="dense" in rest))
             else:
                 method = {
                     "extract": StyleTransferModel.extract_style,
@@ -650,12 +681,20 @@ def _apply_batch(bundle: ModelBundle, infos, style_mat, melody_mat,
                 if fits(c, count_p, count_u, live_p, live_u))
             break
     else:
-        raise OverflowError(
-            f"style application produced {count_p} pitched / {count_u} "
-            f"unpitched notes over {live_p}/{live_u} nonempty blocks, beyond "
-            f"the largest compaction capacity {COMPACT_CAPACITIES[-1]}; the "
-            f"device compaction already dropped records, so decoding would "
-            f"silently lose notes")
+        capacity = COMPACT_CAPACITIES[-1]
+        if count_p <= capacity and count_u <= capacity // 4:
+            # records fit but the live-BLOCK routing table overflowed (a
+            # pathologically spread roll: ~1 note per 128-cell block); run
+            # the density-independent dense-compaction escape hatch once
+            buf = np.asarray(bundle.fn(f"fused:{capacity}:{Cb}:dense")(
+                bundle.params, style_mat, melody_mat, rhythm_mat,
+                style_idx, comp_idx, n_inst, bars, tpb))
+        else:
+            raise OverflowError(
+                f"style application produced {count_p} pitched / {count_u} "
+                f"unpitched notes, beyond the largest compaction capacity "
+                f"{COMPACT_CAPACITIES[-1]}; the device compaction already "
+                f"dropped records, so decoding would silently lose notes")
     for b in range(B):
         _decode_packed_buffer(infos[b], buf[b], capacity, Cb, Rb, T,
                               save_paths[b])
@@ -785,6 +824,8 @@ def transfer_styles(bundle: ModelBundle, composition_paths, style_paths,
     # which release the GIL for the bulk of the work
     from concurrent.futures import ThreadPoolExecutor
     all_paths = list(composition_paths) + list(style_paths)
+    if not all_paths:
+        return []
     with ThreadPoolExecutor(max_workers=min(8, len(all_paths))) as pool:
         songs = [s for _, s in pool.map(get_model_input, all_paths)]
     comps = songs[:len(composition_paths)]

@@ -105,6 +105,29 @@ def test_apply_style_overflow_raises(bundle, example_midis, tmp_path):
         tr.COMPACT_CAPACITIES = old
 
 
+def test_block_table_overflow_falls_back_to_dense_compaction(
+        bundle, example_midis, tmp_path, monkeypatch):
+    """When the live-BLOCK routing table overflows but the record count fits,
+    the ladder must fall back to the density-independent dense compaction and
+    still write the full output (no capability regression vs jnp.nonzero)."""
+    import mst_tpu.transfer as tr
+    comp = _example("Angie.4.mid", example_midis)
+    _, song = get_model_input(comp)
+    style_vec, melody, rhythm, n_bars = extract_style(bundle, song)
+
+    out_normal = tmp_path / "normal.mid"
+    apply_style(bundle, song.info, style_vec, melody, rhythm,
+                len(song.instruments), str(out_normal), n_bars=n_bars)
+
+    # a 1-block routing table overflows for any real output; records fit
+    monkeypatch.setattr(tr, "_block_capacities", lambda c: (1, 1))
+    starved = ModelBundle(model=bundle.model, params=bundle.params)
+    out_dense = tmp_path / "dense.mid"
+    apply_style(starved, song.info, style_vec, melody, rhythm,
+                len(song.instruments), str(out_dense), n_bars=n_bars)
+    assert out_dense.read_bytes() == out_normal.read_bytes()
+
+
 def test_extract_style_bucket_invariance(bundle, example_midis):
     """Latents are identical whichever bar bucket the song pads into."""
     import mst_tpu.transfer as tr

@@ -177,14 +177,16 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
-    for i in range(args.n):
+    written = 0
+    while written < args.n:
         info, instruments = generate_song(rng)
-        if not instruments:
+        if not instruments:  # every channel fell under the note floor
             continue
         mid = create_midi(info, *instruments)
-        native.write_midi_file(os.path.join(args.out, f"gen_{i:04d}.mid"),
-                               mid)
-    print(f"wrote {args.n} songs to {args.out}")
+        native.write_midi_file(
+            os.path.join(args.out, f"gen_{written:04d}.mid"), mid)
+        written += 1
+    print(f"wrote {written} songs to {args.out}")
 
 
 if __name__ == "__main__":

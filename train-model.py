@@ -116,7 +116,7 @@ def main():
         Runs on the prefetch thread, so host parsing AND the host->HBM
         transfer of the next batch overlap the current device step (double
         buffering — jax transfers are dispatched asynchronously)."""
-        from mst_tpu.runtime.train import pad_batch
+        from mst_tpu.runtime.train import clamp_bar_bucket, pad_batch
         while True:
             if args.batch_size == 1:
                 filename, song = next(songs)
@@ -149,7 +149,6 @@ def main():
             # HBM budget: cap the bar bucket so B*Cb*Rb*T activations fit
             # (a (8,8,256,4) batch OOMs a 16 GB chip); truncation beyond the
             # cap mirrors the reference's max_total_bars rule
-            from mst_tpu.runtime.train import clamp_bar_bucket
             Rb = clamp_bar_bucket(Rb, len(group), Cb,
                                   group[0].pitched.shape[2],
                                   config.train.batch_cell_budget,
