@@ -224,6 +224,47 @@ def test_transfer_styles_multi_composition(bundle, example_midis, tmp_path):
         assert load_midi_from_file(w) is not None, w
 
 
+def test_transfer_styles_across_meter_groups(bundle, example_midis, tmp_path):
+    """Mixed 3/4 + 4/4 workload: compositions land in DIFFERENT extraction
+    groups (distinct beats-per-bar bucket a T axis each), so the apply jobs
+    gather style vectors across the concatenated style matrix (nonzero
+    style_offset) — the cross-group path transfer_styles builds but bundled
+    examples (all 4/4) never exercise."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_corpus import generate_song
+    from mst_tpu.io import create_midi, native
+    from mst_tpu.transfer import transfer_styles
+
+    rng = np.random.default_rng(5)
+    waltz = None
+    for _ in range(40):
+        info, instruments = generate_song(rng)
+        if instruments and info["time_signature"]["numerator"] == 3:
+            waltz = (info, instruments)
+            break
+    assert waltz is not None
+    waltz_path = str(tmp_path / "waltz.mid")
+    native.write_midi_file(waltz_path, create_midi(waltz[0], *waltz[1]))
+
+    comps = [waltz_path, _example("Sweet Dreams.mid", example_midis)]
+    style = _example("Angie.4.mid", example_midis)  # 4/4: waltz crosses groups
+    written = transfer_styles(bundle, comps, [style], tmp_path / "out")
+    assert len(written) == 8
+    for w in written:
+        assert load_midi_from_file(w) is not None, w
+    # outputs keep the composition's 3/4 timing (combine_info). NB: a dense
+    # untrained reconstruction puts a note at tick 0, and the reference's
+    # ingest rejects a non-4/4 TS event coinciding with the first note
+    # ("changed mid-song"), so read the raw TS meta event instead
+    from mst_tpu.io.smf import EV_TIME_SIG
+    recon = [w for w in written if "waltz (reconstructed)" in w]
+    assert recon
+    track = load_midi_from_file(recon[0]).tracks[0]
+    ts_events = track.a[track.type == EV_TIME_SIG]
+    assert list(ts_events) == [3]
+
+
 def test_transfer_styles_mesh_sharded_matches_unsharded(bundle, example_midis,
                                                         tmp_path):
     """Batch-axis mesh sharding changes throughput, not results: every output
