@@ -55,7 +55,8 @@ TARGET_TRAIN_STEPS_PER_SEC = 8.33  # 5000-iteration campaign in <10 min
 
 def sparsify_velocity_bias(params):
     """Bias the appliers' final-layer velocity logit negative so hard_output
-    yields a realistically sparse roll (fallback when no trained snapshot)."""
+    yields a realistically sparse roll (fallback when no trained snapshot;
+    same tweak as mst_tpu.transfer.demo_params)."""
     for name in ("pitched_style_applier", "unpitched_style_applier"):
         layer = params["params"][name]["linear"]
         layer["bias"] = layer["bias"].at[1].set(-5.0)

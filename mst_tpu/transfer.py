@@ -359,6 +359,30 @@ class ModelBundle:
         return self._jitted[key]
 
 
+def demo_params(model: StyleTransferModel, seed: int = 0):
+    """Freshly initialized params with the appliers' velocity bias pushed
+    negative, for structure demos without a trained snapshot.
+
+    A raw init puts every velocity above hard_output's 0.01 threshold, so a
+    long song's dense output (potentially > the largest compaction capacity)
+    would overflow the packed decode; sparsifying the final-layer velocity
+    logit yields realistic note densities. Initializes on the host CPU
+    backend (un-jitted init dispatches hundreds of tiny ops — pathological
+    over a remote-accelerator transport)."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(seed), jnp.array([[1.0, 0.0]]),
+            jnp.array([120.0]), jnp.zeros((1, 1, 4, 4, 10, 56, 5)),
+            jnp.zeros((1, 1, 51)).at[0, 0, 0].set(1.0),
+            jnp.zeros((1, 1, 4, 4, 10, 47, 2)))
+        params = dict(params)
+        for name in ("pitched_style_applier", "unpitched_style_applier"):
+            layer = params["params"][name]["linear"]
+            layer["bias"] = layer["bias"].at[1].set(-5.0)
+    return params
+
+
 def get_model_input(path) -> Optional[Tuple[str, Song]]:
     """Parity: style_transfer.py:57-64."""
     mid = load_midi_from_file(path)

@@ -60,6 +60,28 @@ def test_transfer_style_end_to_end(bundle, example_midis, tmp_path):
             assert "original" not in w
 
 
+def test_transfer_style_two_styles(bundle, example_midis, tmp_path):
+    """Multiple style songs against one composition (the reference's
+    style_paths loop, style_transfer.py:134-142): one styled output per
+    style, each style's original saved once."""
+    from mst_tpu.transfer import transfer_style
+    comp = _example("Sweet Dreams.mid", example_midis)
+    styles = [_example("Angie.4.mid", example_midis),
+              _example("Equinox Part 4.mid", example_midis)]
+    written = transfer_style(bundle, comp, styles, tmp_path)
+    names = sorted(os.path.relpath(w, tmp_path) for w in written)
+    assert names == sorted([
+        "Sweet Dreams/original/Sweet Dreams.mid",
+        "Sweet Dreams/Sweet Dreams (reconstructed).mid",
+        "Sweet Dreams/original/Angie.4.mid",
+        "Sweet Dreams/Sweet Dreams (Angie.4 style).mid",
+        "Sweet Dreams/original/Equinox Part 4.mid",
+        "Sweet Dreams/Sweet Dreams (Equinox Part 4 style).mid",
+    ])
+    for w in written:
+        assert load_midi_from_file(w) is not None, w
+
+
 def test_pick_instruments_percussion_only_escalates():
     """n_instruments=1 with percussion on top widens to top-2 (the reference's
     live broadcast-comparison branch, style_transfer.py:107-108): one pitched
