@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mst_tpu.data.pipeline import Song, get_input, prepare_input
+from mst_tpu.exceptions import MidiFormatError
 from mst_tpu.data.taxonomy import (
     INCLUDED_INSTRUMENTS, PERCUSSION_ID, category_instrument)
 from mst_tpu.io import create_midi, load_midi_from_file, native
@@ -851,7 +852,12 @@ def transfer_styles(bundle: ModelBundle, composition_paths, style_paths,
     if not all_paths:
         return []
     with ThreadPoolExecutor(max_workers=min(8, len(all_paths))) as pool:
-        songs = [s for _, s in pool.map(get_model_input, all_paths)]
+        loaded = list(pool.map(get_model_input, all_paths))
+    bad = [p for p, s in zip(all_paths, loaded) if s is None]
+    if bad:
+        raise MidiFormatError(
+            f"could not load {len(bad)} input file(s): {bad}")
+    songs = [s for _, s in loaded]
     comps = songs[:len(composition_paths)]
     style_songs = songs[len(composition_paths):]
     batches, locators = extract_styles(bundle, comps + style_songs)

@@ -82,6 +82,17 @@ def test_transfer_style_two_styles(bundle, example_midis, tmp_path):
         assert load_midi_from_file(w) is not None, w
 
 
+def test_transfer_styles_unloadable_input_raises_clearly(bundle, tmp_path):
+    """A corrupt input must fail with MidiFormatError naming the file, not a
+    bare TypeError from unpacking the defensive loader's None."""
+    from mst_tpu.exceptions import MidiFormatError
+    from mst_tpu.transfer import transfer_styles
+    bad = tmp_path / "bad.mid"
+    bad.write_bytes(b"not a midi file")
+    with pytest.raises(MidiFormatError, match="bad.mid"):
+        transfer_styles(bundle, [str(bad)], [str(bad)], tmp_path / "out")
+
+
 def test_pick_instruments_percussion_only_escalates():
     """n_instruments=1 with percussion on top widens to top-2 (the reference's
     live broadcast-comparison branch, style_transfer.py:107-108): one pitched
