@@ -81,8 +81,12 @@ class TrainConfig:
     n_iterations: int = 5000
     iter_size: int = 2             # gradient-accumulation span (summed, not averaged)
     remat: bool = False            # rematerialize the forward in backward
-    #   (jax.checkpoint): trades ~1.3-1.5x step FLOPs for activation memory,
-    #   letting bigger (batch, channel, bar) buckets train within HBM
+    #   (jax.checkpoint). NOTE: measured on the v5e, this does NOT lower the
+    #   peak for this model — the per-note broadcast chains make the forward
+    #   transient working set the HBM peak, which recompute cannot shrink
+    #   (the (8,8,256,4) and (8,2,1024,4) buckets OOM identically with and
+    #   without it). batch_cell_budget is the effective memory lever; the
+    #   flag remains for configs where saved residuals dominate.
     learning_rate: float = 1e-2
     lr_decay_every: int = 200      # optimizer steps between decays (StepLR step_size)
     lr_decay_gamma: float = 0.9

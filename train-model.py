@@ -39,9 +39,10 @@ def main():
                              "trains one song per step)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize the forward in backward "
-                             "(jax.checkpoint): ~1.3-1.5x step FLOPs for a "
-                             "large activation-memory cut, enabling bigger "
-                             "batch/bar buckets within HBM")
+                             "(jax.checkpoint). Note: for this model the "
+                             "HBM peak is forward transients, which remat "
+                             "cannot shrink (measured) — the batch cell "
+                             "budget is the effective memory lever")
     parser.add_argument("--seq-parallel", type=int, default=1,
                         help="shard the bar axis over this many devices "
                              "(pipelined LSTM recurrence; bar bucket must be "
