@@ -10,8 +10,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mst_tpu.models.layers import Dense, leaky_relu, mean_size
-from mst_tpu.ops.shapes import cat_with_broadcast, squash_dims
+from mst_tpu.models.layers import (ConcatDense, Dense, leaky_relu,
+                                   mean_size)
+from mst_tpu.ops.shapes import squash_dims
 
 N_OCTAVES = 8
 N_SCALE_DEGREES = 7
@@ -53,13 +54,17 @@ class PitchedStyleApplier(nn.Module):
         x = leaky_relu(x)
         x3 = x[:, :, None, None, None, :]               # (B,C,1,1,1,F)
 
-        y = cat_with_broadcast([x1, x2, x3], -1)        # (B,C,R,T,F10,88)
-
-        x = Dense(linears_out * N_OCTAVES, name="octave_linear")(y)
+        # the octave/degree linears distribute over the implicit concat of
+        # (x1, x2, x3): each part's matmul runs pre-broadcast (the channel-
+        # independent parts never expand over C) and the (B,C,R,T,F10,88)
+        # concat input of the reference formulation is never materialized
+        parts = [x1, x2, x3]
+        x = ConcatDense(linears_out * N_OCTAVES, name="octave_linear")(parts)
         x = x.reshape(x.shape[:-1] + (N_OCTAVES, linears_out))
         x1 = leaky_relu(x)[..., :, None, :]
 
-        x = Dense(linears_out * N_SCALE_DEGREES, name="scale_degree_linear")(y)
+        x = ConcatDense(linears_out * N_SCALE_DEGREES,
+                        name="scale_degree_linear")(parts)
         x = x.reshape(x.shape[:-1] + (N_SCALE_DEGREES, linears_out))
         x2 = leaky_relu(x)[..., None, :, :]
 
@@ -71,8 +76,9 @@ class PitchedStyleApplier(nn.Module):
         x = leaky_relu(x)
         x2 = x[:, None]                                 # (B,1,R,T,F10,56,20)
 
-        x = cat_with_broadcast([x1, x2], -1)
-        x = Dense(p, name="linear")(x)                  # (B,C,R,T,F10,56,5)
+        # distribute the final linear too: the melody part contributes at
+        # (B,R,T,F10,56,.) and only its 5-feature output broadcasts over C
+        x = ConcatDense(p, name="linear")([x1, x2])     # (B,C,R,T,F10,56,5)
 
         duration = duration_activation(x[..., :1])
         velocity = jax.nn.sigmoid(x[..., 1:2])
@@ -101,9 +107,10 @@ class UnpitchedStyleApplier(nn.Module):
                   name="rhythm_linear")(rhythm)          # (B,R,T,F10,F)
         x2 = leaky_relu(x)
 
-        x = cat_with_broadcast([x1, x2], -1)             # (B,R,T,F10,82)
-        x = Dense(N_UNPITCHED_NOTES * notes_linear_size,
-                  name="notes_linear")(x)
+        # distributed concat: the per-song style part multiplies once per
+        # beat fraction, not per (bar, beat) cell
+        x = ConcatDense(N_UNPITCHED_NOTES * notes_linear_size,
+                        name="notes_linear")([x1, x2])   # (B,R,T,F10,.)
         x = leaky_relu(x)
         x = x.reshape(x.shape[:4] + (N_UNPITCHED_NOTES, notes_linear_size))
         x = Dense(u, name="linear")(x)                   # (B,R,T,F10,47,2)

@@ -41,6 +41,42 @@ class Dense(nn.Module):
         return x @ kernel + bias
 
 
+class ConcatDense(nn.Module):
+    """Dense over an implicit concat of broadcast-aligned parts.
+
+    Computes ``sum_i broadcast(part_i @ kernel_rows_i) + bias`` — the exact
+    distribution of ``Dense(cat_with_broadcast(parts, -1))`` over the concat —
+    WITHOUT materializing the broadcast-concatenated input. TPU-first: parts
+    that lack an axis (e.g. the channel axis) run their matmul at pre-
+    broadcast size (C-fold fewer MXU FLOPs) and only the small outputs
+    broadcast in the sum, so the dominant forward transients of the per-note
+    feature stack never exist.
+
+    Parameters are identical to the Dense it replaces (same "kernel"/"bias"
+    names, shapes, and torch-default init, with fan_in = sum of part widths),
+    so checkpoints are interchangeable; outputs differ from the concat
+    formulation only by float summation order.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, parts):
+        dims = [p.shape[-1] for p in parts]
+        fan_in = sum(dims)
+        bound = 1.0 / math.sqrt(fan_in)
+        kernel = self.param("kernel", _uniform(bound),
+                            (fan_in, self.features))
+        bias = self.param("bias", _uniform(bound), (self.features,))
+        total = None
+        offset = 0
+        for part, d in zip(parts, dims):
+            y = part @ kernel[offset:offset + d]
+            offset += d
+            total = y if total is None else total + y
+        return total + bias
+
+
 class Conv1d(nn.Module):
     """1-D convolution over the trailing spatial axis of (N, C_in, W) inputs,
     with torch-default init (parity target: the note->octave pooling conv,
