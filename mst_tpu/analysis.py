@@ -49,8 +49,8 @@ def keys_dist(info: SongInfo, notes: NoteArray,
 
 def keys_dist_vector(notes: NoteArray) -> np.ndarray:
     """(12,) un-normalized key-mass vector (the detection-path aggregate,
-    style/data.py:79-84 without the constant seconds factor)."""
-    mass = np.zeros(12)
-    np.add.at(mass, notes.note_id % 12,
-              notes.duration.astype(np.float64) * notes.velocity)
-    return mass
+    style/data.py:79-84 without the constant seconds factor). Thin wrapper
+    over the one canonical implementation in mst_tpu.theory."""
+    from mst_tpu.theory import keys_dist_from_notes
+    return keys_dist_from_notes(
+        notes.note_id % 12, notes.duration.astype(np.float64) * notes.velocity)

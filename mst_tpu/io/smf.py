@@ -237,10 +237,11 @@ def _write_varlen(value: int, out: bytearray) -> None:
 
 
 def encode_midi(data: MidiFileData) -> bytes:
-    """Serialize to SMF bytes. Matches mido's writer conventions (no running
-    status, minimal varlen encodings, time_signature clocks=24/32nds=8), so
-    output is byte-identical to what the reference's create_midi + mido.save
-    produced for the bundled examples (verified by round-trip tests)."""
+    """Serialize to SMF bytes. Matches mido's writer conventions
+    (running-status compression for consecutive same-status channel events,
+    minimal varlen encodings, time_signature clocks=24/32nds=8), so output is
+    byte-identical to what the reference's create_midi + mido.save produced
+    for the bundled examples (verified by round-trip tests)."""
     out = bytearray()
     out += b"MThd" + struct.pack(">IHHH", 6, data.format, len(data.tracks),
                                  data.ticks_per_beat)

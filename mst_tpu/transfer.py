@@ -360,16 +360,24 @@ class ModelBundle:
         return self._jitted[key]
 
 
-def demo_params(model: StyleTransferModel, seed: int = 0):
-    """Freshly initialized params with the appliers' velocity bias pushed
-    negative, for structure demos without a trained snapshot.
+def sparsify_velocity_bias(params: dict) -> dict:
+    """Push the appliers' final-layer velocity bias negative so hard_output
+    yields a realistically sparse roll from UNTRAINED params. A raw init puts
+    every velocity above the 0.01 threshold, so a long song's dense output
+    (potentially > the largest compaction capacity) would overflow the packed
+    decode. In-place on the passed (already-copied) dict; returns it."""
+    for name in ("pitched_style_applier", "unpitched_style_applier"):
+        layer = params["params"][name]["linear"]
+        layer["bias"] = layer["bias"].at[1].set(-5.0)
+    return params
 
-    A raw init puts every velocity above hard_output's 0.01 threshold, so a
-    long song's dense output (potentially > the largest compaction capacity)
-    would overflow the packed decode; sparsifying the final-layer velocity
-    logit yields realistic note densities. Initializes on the host CPU
-    backend (un-jitted init dispatches hundreds of tiny ops — pathological
-    over a remote-accelerator transport)."""
+
+def demo_params(model: StyleTransferModel, seed: int = 0):
+    """Freshly initialized params with the appliers' velocity bias sparsified
+    (see sparsify_velocity_bias), for structure demos without a trained
+    snapshot. Initializes on the host CPU backend (un-jitted init dispatches
+    hundreds of tiny ops — pathological over a remote-accelerator
+    transport)."""
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         params = jax.jit(model.init)(
@@ -377,10 +385,7 @@ def demo_params(model: StyleTransferModel, seed: int = 0):
             jnp.array([120.0]), jnp.zeros((1, 1, 4, 4, 10, 56, 5)),
             jnp.zeros((1, 1, 51)).at[0, 0, 0].set(1.0),
             jnp.zeros((1, 1, 4, 4, 10, 47, 2)))
-        params = dict(params)
-        for name in ("pitched_style_applier", "unpitched_style_applier"):
-            layer = params["params"][name]["linear"]
-            layer["bias"] = layer["bias"].at[1].set(-5.0)
+        params = sparsify_velocity_bias(dict(params))
     return params
 
 
@@ -646,19 +651,28 @@ def apply_styles(bundle: ModelBundle, infos: Sequence[SongInfo], styles,
                  n_instruments_list, save_paths, n_bars_list)
 
 
-def _apply_batch(bundle: ModelBundle, infos, style_mat, melody_mat,
-                 rhythm_mat, style_idx, comp_idx, n_instruments_list,
-                 save_paths, n_bars_list, host_work=None) -> None:
-    """Run the fused apply program for B (style row, composition row) jobs
-    and decode each returned buffer to its .mid file.
+def _fits(capacity: int, count_p: int, count_u: int, live_p: int,
+          live_u: int) -> bool:
+    """Do the observed record counts AND live-block routing counts fit a
+    compaction tier?"""
+    blocks_p, blocks_u = _block_capacities(capacity)
+    return (count_p <= capacity and count_u <= capacity // 4
+            and live_p <= blocks_p and live_u <= blocks_u)
+
+
+def run_fused_jobs(bundle: ModelBundle, infos, style_mat, melody_mat,
+                   rhythm_mat, style_idx, comp_idx, n_instruments_list,
+                   n_bars_list, Cb: int, host_work=None):
+    """Dispatch the fused apply program for B (style row, composition row)
+    jobs, escalating through the compaction capacity ladder (and the dense
+    escape hatch) until every job's output fits. Returns the fetched
+    ``(buf (B, bufsize) uint32, capacity)`` ready for _decode_packed_buffer.
 
     ``host_work``: optional callable run AFTER the device program is
     dispatched but BEFORE its result is fetched — host-side work (e.g.
     decoding the original .mid files) overlaps the device compute instead of
     serializing with it."""
     B = len(infos)
-    Rb, T = rhythm_mat.shape[1], rhythm_mat.shape[2]
-    Cb = _bucket(max(max(n_instruments_list), 1), CHANNEL_BUCKETS)
 
     def rows(values, dtype):
         # pad the job list by repeating the last job so rows shard evenly
@@ -678,11 +692,6 @@ def _apply_batch(bundle: ModelBundle, infos, style_mat, melody_mat,
     # whole program, so a wrong guess costs a full round trip)
     ladder = [c for c in COMPACT_CAPACITIES if c >= bundle.capacity_hint] \
         or [COMPACT_CAPACITIES[-1]]
-    def fits(capacity, count_p, count_u, live_p, live_u):
-        blocks_p, blocks_u = _block_capacities(capacity)
-        return (count_p <= capacity and count_u <= capacity // 4
-                and live_p <= blocks_p and live_u <= blocks_u)
-
     for capacity in ladder:
         buf_dev = bundle.fn(f"fused:{capacity}:{Cb}")(
             bundle.params, style_mat, melody_mat, rhythm_mat,
@@ -695,7 +704,7 @@ def _apply_batch(bundle: ModelBundle, infos, style_mat, melody_mat,
         count_u = int(buf[:B, 5].max())
         live_p = int(buf[:B, 6].max())
         live_u = int(buf[:B, 7].max())
-        if fits(capacity, count_p, count_u, live_p, live_u):
+        if _fits(capacity, count_p, count_u, live_p, live_u):
             # remember the smallest tier the observed counts FIT in (not the
             # tier used): the hint may step back down, so one dense batch
             # doesn't permanently inflate every later fetch to the top tier
@@ -703,24 +712,43 @@ def _apply_batch(bundle: ModelBundle, infos, style_mat, melody_mat,
             # hint would cost every future fetch)
             bundle.capacity_hint = next(
                 c for c in COMPACT_CAPACITIES
-                if fits(c, count_p, count_u, live_p, live_u))
-            break
-    else:
-        capacity = COMPACT_CAPACITIES[-1]
-        if count_p <= capacity and count_u <= capacity // 4:
-            # records fit but the live-BLOCK routing table overflowed (a
-            # pathologically spread roll: ~1 note per 128-cell block); run
-            # the density-independent dense-compaction escape hatch once
-            buf = np.asarray(bundle.fn(f"fused:{capacity}:{Cb}:dense")(
-                bundle.params, style_mat, melody_mat, rhythm_mat,
-                style_idx, comp_idx, n_inst, bars, tpb))
-        else:
-            raise OverflowError(
-                f"style application produced {count_p} pitched / {count_u} "
-                f"unpitched notes, beyond the largest compaction capacity "
-                f"{COMPACT_CAPACITIES[-1]}; the device compaction already "
-                f"dropped records, so decoding would silently lose notes")
-    for b in range(B):
+                if _fits(c, count_p, count_u, live_p, live_u))
+            return buf, capacity
+    capacity = COMPACT_CAPACITIES[-1]
+    if count_p <= capacity and count_u <= capacity // 4:
+        # records fit but the live-BLOCK routing table overflowed (a
+        # pathologically spread roll: ~1 note per 128-cell block); run
+        # the density-independent dense-compaction escape hatch once
+        buf = np.asarray(bundle.fn(f"fused:{capacity}:{Cb}:dense")(
+            bundle.params, style_mat, melody_mat, rhythm_mat,
+            style_idx, comp_idx, n_inst, bars, tpb))
+        # an overflowed routing table TRUNCATES the block ladder's reported
+        # counts (the live-block prefix under-reports), so the pre-dense
+        # check above is optimistic; the dense compaction's header carries
+        # the TRUE counts — re-check them so _decode_packed_buffer's
+        # [:count] slice can never silently cap at capacity
+        count_p = int(buf[:B, 4].max())
+        count_u = int(buf[:B, 5].max())
+    if count_p > capacity or count_u > capacity // 4:
+        raise OverflowError(
+            f"style application produced {count_p} pitched / {count_u} "
+            f"unpitched notes, beyond the largest compaction capacity "
+            f"{COMPACT_CAPACITIES[-1]}; the device compaction already "
+            f"dropped records, so decoding would silently lose notes")
+    return buf, capacity
+
+
+def _apply_batch(bundle: ModelBundle, infos, style_mat, melody_mat,
+                 rhythm_mat, style_idx, comp_idx, n_instruments_list,
+                 save_paths, n_bars_list, host_work=None) -> None:
+    """Run the fused apply program for B jobs and decode each returned buffer
+    to its .mid file."""
+    Rb, T = rhythm_mat.shape[1], rhythm_mat.shape[2]
+    Cb = _bucket(max(max(n_instruments_list), 1), CHANNEL_BUCKETS)
+    buf, capacity = run_fused_jobs(
+        bundle, infos, style_mat, melody_mat, rhythm_mat, style_idx, comp_idx,
+        n_instruments_list, n_bars_list, Cb, host_work=host_work)
+    for b in range(len(infos)):
         _decode_packed_buffer(infos[b], buf[b], capacity, Cb, Rb, T,
                               save_paths[b])
 

@@ -161,6 +161,32 @@ def test_block_table_overflow_falls_back_to_dense_compaction(
     assert out_dense.read_bytes() == out_normal.read_bytes()
 
 
+def test_dense_fallback_rechecks_true_counts(bundle, example_midis, tmp_path,
+                                             monkeypatch):
+    """An overflowed block routing table TRUNCATES the ladder's reported
+    counts, so they can look like they fit a too-small capacity; the dense
+    fallback must re-check its own (true) header counts and raise instead of
+    letting the decode silently cap at capacity."""
+    import mst_tpu.transfer as tr
+    comp = _example("Angie.4.mid", example_midis)
+    _, song = get_model_input(comp)
+    style_vec, melody, rhythm, n_bars = extract_style(bundle, song)
+    dense = ModelBundle(model=bundle.model, params=bundle.params)
+    # un-sparsify: every cell becomes a note, far beyond a 256 capacity
+    dense.params = jax.tree_util.tree_map(lambda x: x, bundle.params)
+    for name in ("pitched_style_applier", "unpitched_style_applier"):
+        layer = dense.params["params"][name]["linear"]
+        layer["bias"] = layer["bias"].at[1].set(5.0)
+    # 1-block routing table: the ladder's counts truncate to <=128, which
+    # "fits" 256 — only the dense re-check can catch the real overflow
+    monkeypatch.setattr(tr, "_block_capacities", lambda c: (1, 1))
+    monkeypatch.setattr(tr, "COMPACT_CAPACITIES", (256,))
+    with pytest.raises(OverflowError):
+        apply_style(dense, song.info, style_vec, melody, rhythm,
+                    len(song.instruments), str(tmp_path / "x.mid"),
+                    n_bars=n_bars)
+
+
 def test_extract_style_bucket_invariance(bundle, example_midis):
     """Latents are identical whichever bar bucket the song pads into."""
     import mst_tpu.transfer as tr
@@ -326,17 +352,21 @@ def test_transfer_styles_mesh_sharded_matches_unsharded(bundle, example_midis,
             continue
         # the sharded compilation may round a BORDERLINE cell differently
         # (a velocity at the 0.01 hard_output threshold or a near-.5 tick):
-        # compare the note structure with a tolerance for a handful of
-        # threshold flips out of tens of thousands of messages
+        # compare the note structure — INCLUDING the quantized velocity
+        # byte, so a systematic velocity bug can't hide behind the
+        # borderline-cell tolerance — allowing a handful of threshold flips
+        # out of tens of thousands of messages
         ch_a, _ = read_midi(load_midi_from_file(a))
         ch_b, _ = read_midi(load_midi_from_file(b))
         assert len(ch_a) == len(ch_b), a
         for ca, cb in zip(ch_a, ch_b):
             ma, mb = ca["messages"], cb["messages"]
             assert abs(len(ma) - len(mb)) <= 4, a
-            set_a = set(zip(ma.time.tolist(), ma.note.tolist(),
-                            ma.is_on.tolist()))
-            set_b = set(zip(mb.time.tolist(), mb.note.tolist(),
-                            mb.is_on.tolist()))
-            n_diff = len(set_a ^ set_b)
+
+            def msg_set(m):
+                vel_bytes = np.round(np.asarray(m.velocity) * 127.0)
+                return set(zip(m.time.tolist(), m.note.tolist(),
+                               m.is_on.tolist(),
+                               vel_bytes.astype(int).tolist()))
+            n_diff = len(msg_set(ma) ^ msg_set(mb))
             assert n_diff <= max(8, len(ma) // 1000), (a, n_diff)

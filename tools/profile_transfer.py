@@ -105,30 +105,13 @@ def main():
             Rb, T = batches[g].rhythm.shape[1], batches[g].rhythm.shape[2]
             Cb = tr._bucket(max(max(n_inst), 1), tr.CHANNEL_BUCKETS)
 
-            def rows(values, dtype):
-                n_data = bundle.data_axis_size()
-                Bp = -(-B // n_data) * n_data
-                arr = np.asarray(list(values) + [values[-1]] * (Bp - B),
-                                 dtype)
-                return bundle.shard_rows(jnp.asarray(arr))
-
             with st("5 apply dispatch+fetch"):
-                tpb = rows([i.ticks_per_beat for i in infos], np.float32)
-                n_i = rows(list(n_inst), np.int32)
-                bar_arr = rows(list(bars), np.int32)
-                si = rows(list(s_idx), np.int32)
-                ci = rows(list(c_idx), np.int32)
-                ladder = [c for c in tr.COMPACT_CAPACITIES
-                          if c >= bundle.capacity_hint] \
-                    or [tr.COMPACT_CAPACITIES[-1]]
-                for capacity in ladder:
-                    buf = np.asarray(bundle.fn(f"fused:{capacity}:{Cb}")(
-                        bundle.params, style_mat, batches[g].melody,
-                        batches[g].rhythm, si, ci, n_i, bar_arr, tpb))
-                    count_p = int(buf[:B, 4].max())
-                    count_u = int(buf[:B, 5].max())
-                    if count_p <= capacity and count_u <= capacity // 4:
-                        break
+                # the real ladder (incl. the live-block columns and the dense
+                # fallback) — never duplicate its escalation logic here
+                buf, capacity = tr.run_fused_jobs(
+                    bundle, list(infos), style_mat, batches[g].melody,
+                    batches[g].rhythm, list(s_idx), list(c_idx),
+                    list(n_inst), list(bars), Cb)
             with st("6 styled decode+write"):
                 for b in range(B):
                     tr._decode_packed_buffer(infos[b], buf[b], capacity, Cb,
