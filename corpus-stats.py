@@ -27,7 +27,8 @@ def main():
     from mst_tpu.exceptions import MidiFormatError
     from mst_tpu.io.midi import PROGRAM_TO_INSTRUMENT, load_midi_from_file
     from mst_tpu.ops.events import pair_notes, read_midi
-    from mst_tpu.theory import KEY_NAMES, detect_scale, keys_dist_from_notes
+    from mst_tpu.theory import (
+        KEY_NAMES, detect_scales_batch, keys_dist_from_notes)
     from mst_tpu.utils import (group_by, list2df, random_sample, save_to_csv)
 
     files = sorted(glob.glob(os.path.join(args.data, "**/*.mid"),
@@ -36,7 +37,7 @@ def main():
         files = random_sample(files, args.sample,
                               rng=np.random.default_rng(args.seed))
 
-    rows, summaries = [], []
+    rows, summaries, dists = [], [], []
     for path in files:
         mid = load_midi_from_file(path)
         if mid is None:
@@ -63,21 +64,26 @@ def main():
                     all_weights.append(
                         notes.duration.astype(np.float64) * notes.velocity)
         if all_keys:
-            dist = keys_dist_from_notes(np.concatenate(all_keys),
-                                        np.concatenate(all_weights))
-            scale = detect_scale(dist)
-            key_name, mode = scale.key_name, \
-                ("minor" if scale.is_minor else "major")
-        else:
-            key_name, mode = "", ""
+            dists.append((len(summaries),
+                          keys_dist_from_notes(np.concatenate(all_keys),
+                                               np.concatenate(all_weights))))
         summaries.append(dict(
-            file=os.path.basename(path), key=key_name, mode=mode,
+            file=os.path.basename(path), key="", mode="",
             bpm=info.bpm, n_bars=int(info.n_bars),
             n_channels=len(channels),
             time_signature=f"{info.numerator}/{info.denominator}"))
 
     if not summaries:
         raise SystemExit("no readable .mid files found")
+
+    # ONE vectorized (B, 24) scoring pass for the whole corpus instead of a
+    # per-song loop (detect_scales_batch is the batched argmin detector)
+    if dists:
+        tonics, minors = detect_scales_batch(
+            np.stack([d for _, d in dists]))
+        for (i, _), tonic, minor in zip(dists, tonics, minors):
+            summaries[i]["key"] = KEY_NAMES[int(tonic)]
+            summaries[i]["mode"] = "minor" if minor else "major"
 
     df = list2df(summaries, columns=("file", "key", "mode", "bpm", "n_bars",
                                      "n_channels", "time_signature"))

@@ -8,8 +8,9 @@ semitone per candidate (style/scales.py:197-211) and combines
 
 Here the whole scoring is one vectorized (24, 12) computation with no Python
 loops, usable under numpy *or* jax.numpy, and batchable over many songs at once
-(`detect_scales_batch`) — the TPU-native departure: on-device key detection for a
-whole batch of songs is a couple of (24,12)x(12,) contractions.
+(`detect_scales_batch`, consumed by corpus-stats.py's one-pass corpus scan) —
+key detection for a whole batch of songs is a couple of (24,12)x(12,)
+contractions, jit-compatible when handed jnp arrays.
 
 Note: the reference additionally computes an ``ndcg`` score via an import of the
 unavailable ``py_utils`` package (style/scales.py:203 — a latent bug; the value is
@@ -236,8 +237,9 @@ def score_scales(keys_dist):
 def detect_scales_batch(keys_dists, xp=np):
     """Batched detection: (B, 12) -> (tonic (B,), is_minor (B,)) arrays.
 
-    Designed to run under jit for on-device batched ingestion (new capability —
-    the reference detects one song at a time on host)."""
+    One vectorized scoring pass for a whole corpus (the reference detects one
+    song at a time, style/scales.py:214); corpus-stats.py scans directories
+    through this. jit-compatible with xp=jnp."""
     loss = scale_scores(keys_dists, xp=xp)
     idx = xp.argmin(loss, axis=-1)
     return idx % 12, idx >= 12
