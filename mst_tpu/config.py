@@ -66,7 +66,11 @@ class ModelConfig:
     max_bpm: float = 200.0
     mean_type: str = "quadratic"
 
-    # numeric policy (TPU): params float32; matmul inputs may be cast to bfloat16
+    # numeric policy (TPU): params/activations stay float32; with "bfloat16"
+    # every matmul/conv OPERAND is cast to bf16 with fp32 accumulation
+    # (mst_tpu.ops.precision — ~2x MXU throughput on v5e). Consumed by the
+    # train step (runtime/train.py) and every transfer dispatch
+    # (transfer.ModelBundle).
     compute_dtype: str = "float32"
 
     @property

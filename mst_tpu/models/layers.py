@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from mst_tpu.ops import precision
+
 
 def mean_size(*values, factor: float = 1.0) -> int:
     """Parity: style/model.py:31-33."""
@@ -38,7 +40,7 @@ class Dense(nn.Module):
         bound = 1.0 / math.sqrt(fan_in)
         kernel = self.param("kernel", _uniform(bound), (fan_in, self.features))
         bias = self.param("bias", _uniform(bound), (self.features,))
-        return x @ kernel + bias
+        return precision.matmul(x, kernel) + bias
 
 
 class ConcatDense(nn.Module):
@@ -71,7 +73,7 @@ class ConcatDense(nn.Module):
         total = None
         offset = 0
         for part, d in zip(parts, dims):
-            y = part @ kernel[offset:offset + d]
+            y = precision.matmul(part, kernel[offset:offset + d])
             offset += d
             total = y if total is None else total + y
         return total + bias
@@ -94,7 +96,7 @@ class Conv1d(nn.Module):
         kernel = self.param("kernel", _uniform(bound),
                             (self.features, x.shape[-2], self.kernel_size))
         bias = self.param("bias", _uniform(bound), (self.features,))
-        out = jax.lax.conv_general_dilated(
+        out = precision.conv_general_dilated(
             x, kernel,
             window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],

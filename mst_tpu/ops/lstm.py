@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from mst_tpu.ops import precision
 from mst_tpu.ops.shapes import masked_flip, masked_last
 
 
@@ -87,7 +88,8 @@ def _lstm_scan(x, w_ih, w_hh, b, reverse: bool = False,
     recurrences."""
     n, t, _ = x.shape
     h_dim = w_hh.shape[0]
-    gates_x = jnp.einsum("ntd,dk->ntk", x, w_ih) + b  # one MXU matmul
+    # one MXU matmul (bf16 under compute_dtype="bfloat16", fp32 accumulation)
+    gates_x = precision.einsum("ntd,dk->ntk", x, w_ih) + b
 
     from mst_tpu.ops.seq_context import MIN_SEQ_LEN, current_seq_mesh
     ctx = current_seq_mesh()
@@ -104,10 +106,13 @@ def _lstm_scan(x, w_ih, w_hh, b, reverse: bool = False,
     gates_x = jnp.swapaxes(gates_x, 0, 1)  # (T, N, 4H)
     if reverse:
         gates_x = gates_x[::-1]
+    # cast the recurrent weights ONCE outside the scan; the carry h is cast
+    # per step (elementwise, fuses into the gate math)
+    w_hh_c = precision.cast_operand(w_hh)
 
     def step(carry, gx):
         h, c = carry
-        gates = gx + h @ w_hh
+        gates = gx + precision.matmul(h, w_hh_c)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = jax.nn.sigmoid(i)
         f = jax.nn.sigmoid(f)

@@ -19,12 +19,18 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from mst_tpu.ops import precision
+
 
 def _local_scan(gates_x, w_hh, carry):
-    """gates_x: (T_local, N, 4H) precomputed input projections."""
+    """gates_x: (T_local, N, 4H) precomputed input projections.
+
+    ``w_hh`` is expected pre-cast by the caller when a bf16 compute dtype is
+    active (precision.cast_operand), so the cast collective story under
+    shard_map stays unchanged."""
     def step(c, gx):
         h, cc = c
-        gates = gx + h @ w_hh
+        gates = gx + precision.matmul(h, w_hh)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         cc = jax.nn.sigmoid(f) * cc + jax.nn.sigmoid(i) * jnp.tanh(g)
         h = jax.nn.sigmoid(o) * jnp.tanh(cc)
@@ -110,13 +116,13 @@ def seq_sharded_lstm(x, w_ih, w_hh, b, mesh: Mesh, seq_axis: str = "seq",
                      reverse: bool = False):
     """Full seq-sharded LSTM: global input projection (XLA shards the matmul)
     + the pipelined recurrence. Numerically identical to the dense scan."""
-    gates_x = jnp.einsum("btd,dk->btk", x, w_ih) + b
+    gates_x = precision.einsum("btd,dk->btk", x, w_ih) + b
     return seq_sharded_scan(gates_x, w_hh, mesh, seq_axis, reverse=reverse)
 
 
 def dense_reference_lstm(x, w_ih, w_hh, b):
     """Single-device scan for cross-checking."""
-    gates_x = jnp.einsum("btd,dk->btk", x, w_ih) + b
+    gates_x = precision.einsum("btd,dk->btk", x, w_ih) + b
     gates_x = jnp.swapaxes(gates_x, 0, 1)
     B = x.shape[0]
     H = w_hh.shape[0]

@@ -27,6 +27,7 @@ import optax
 from mst_tpu.config import Config
 from mst_tpu.data.pipeline import Song, get_used_instruments
 from mst_tpu.models import StyleTransferModel
+from mst_tpu.ops import precision
 from mst_tpu.ops.losses import LossDict, total_loss
 
 
@@ -152,7 +153,10 @@ def make_train_step(model: StyleTransferModel, config: Config,
 
     def step(state: TrainState, batch: Batch):
         def scalar_loss(params):
-            losses = loss_fn(model, params, batch, has_unpitched)
+            # traced under the config's compute dtype: matmul operands cast
+            # to bf16 when compute_dtype="bfloat16" (params/grads stay fp32)
+            with precision.precision(config.model.compute_dtype):
+                losses = loss_fn(model, params, batch, has_unpitched)
             return losses.total, losses
 
         if config.train.remat:

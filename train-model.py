@@ -47,6 +47,11 @@ def main():
                         help="shard the bar axis over this many devices "
                              "(pipelined LSTM recurrence; bar bucket must be "
                              "divisible by it)")
+    parser.add_argument("--compute-dtype", default=None,
+                        choices=("float32", "bfloat16"),
+                        help="matmul compute dtype (params/grads stay "
+                             "float32; bfloat16 doubles MXU throughput). "
+                             "Default: ModelConfig.compute_dtype")
     args = parser.parse_args()
 
     if args.cpu:
@@ -54,6 +59,8 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
 
     import numpy as np
     from mst_tpu.config import Config, TrainConfig
@@ -69,6 +76,9 @@ def main():
     config = Config(train=TrainConfig(n_iterations=args.iters, seed=args.seed,
                                       save_interval=args.save_interval,
                                       remat=args.remat))
+    if args.compute_dtype:
+        config = dataclasses.replace(config, model=dataclasses.replace(
+            config.model, compute_dtype=args.compute_dtype))
 
     print(f"Using {jax.devices()[0].platform}:{jax.devices()[0]}")
     print("Listing data files")
