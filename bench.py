@@ -90,14 +90,23 @@ def bench_transfer(bundle):
     run("/tmp/bench_warmup")  # pays all jit compiles for these shape groups
 
     # best-of-N: the transport to a remote/attached chip has high run-to-run
-    # variance; the minimum is the standard robust estimator
+    # variance; the minimum is the standard robust estimator. Device
+    # dispatches are logged so the device-side matmul FLOPs per song can be
+    # accounted (replay_log_flops traces the same programs abstractly).
+    bundle.call_log = []
     times = []
     for i in range(5):
         t0 = time.perf_counter()
         run(f"/tmp/bench_run_{i}")
         times.append(time.perf_counter() - t0)
     per_song = min(times) / len(COMPOSITIONS)
-    return 1.0 / per_song
+
+    from mst_tpu.runtime.flops import replay_log_flops
+    n_runs = 5
+    flops_per_song = replay_log_flops(bundle._raw, bundle.call_log) \
+        / n_runs / len(COMPOSITIONS)
+    bundle.call_log = None
+    return 1.0 / per_song, per_song, flops_per_song
 
 
 def bench_single_song(bundle):
@@ -143,19 +152,45 @@ def bench_train_step(bundle):
     t0 = time.perf_counter()
     for _ in range(n):
         state, losses = step(state, batch)
-    return n / (time.perf_counter() - t0)
+    steps_per_sec = n / (time.perf_counter() - t0)
+
+    # analytic matmul FLOPs of the whole step (fwd + bwd + Adam), traced
+    # from the exact program benched above (runtime.flops walks the jaxpr)
+    from mst_tpu.runtime.flops import count_matmul_flops
+    raw_step = make_train_step(bundle.model, config,
+                               has_unpitched=batch.unpitched is not None,
+                               fetch_losses=False)
+    flops_per_step = count_matmul_flops(raw_step, state, batch)
+    return steps_per_sec, flops_per_step, config.model.compute_dtype
 
 
 def main():
+    from mst_tpu.runtime.flops import mfu
+
     bundle = load_bundle()
 
-    songs_per_sec = bench_transfer(bundle)
+    songs_per_sec, sec_per_song, t_flops_per_song = bench_transfer(bundle)
     print(json.dumps({
         "metric": "midi_to_styled_midi_full_pipeline",
         "value": round(songs_per_sec, 4),
         "unit": "songs/sec/chip",
         "vs_baseline": round(songs_per_sec / TARGET_SONGS_PER_SEC, 4),
         "baseline": "north-star-target",
+    }))
+
+    # device-side matmul FLOPs the batched transfer executes per song, and
+    # the utilization its wall-clock implies — honest accounting: the
+    # pipeline is transport/host-bound, not MXU-bound (see README), so this
+    # fraction is structurally small for this model family
+    t_dtype = bundle.model.config.compute_dtype
+    print(json.dumps({
+        "metric": "transfer_device_mfu",
+        "value": round(mfu(t_flops_per_song, sec_per_song, t_dtype), 6),
+        "unit": "fraction_of_peak",
+        "flops_per_song": round(t_flops_per_song),
+        "compute_dtype": t_dtype,
+        "vs_baseline": round(mfu(t_flops_per_song, sec_per_song, t_dtype), 6),
+        "baseline": "chip-peak",
     }))
 
     single_latency = bench_single_song(bundle)
@@ -169,13 +204,23 @@ def main():
         "baseline": "north-star-target",
     }))
 
-    steps_per_sec = bench_train_step(bundle)
+    steps_per_sec, flops_per_step, dtype = bench_train_step(bundle)
     print(json.dumps({
         "metric": "train_step",
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec/chip",
         "vs_baseline": round(steps_per_sec / TARGET_TRAIN_STEPS_PER_SEC, 4),
         "baseline": "north-star-target",
+    }))
+    print(json.dumps({
+        "metric": "train_step_mfu",
+        "value": round(mfu(flops_per_step, 1.0 / steps_per_sec, dtype), 6),
+        "unit": "fraction_of_peak",
+        "flops_per_step": round(flops_per_step),
+        "compute_dtype": dtype,
+        "vs_baseline": round(mfu(flops_per_step, 1.0 / steps_per_sec, dtype),
+                             6),
+        "baseline": "chip-peak",
     }))
 
 

@@ -283,7 +283,12 @@ class ModelBundle:
     params: dict
     mesh: Optional[object] = None  # jax.sharding.Mesh
     capacity_hint: int = 0  # sticky: smallest compaction tier known to fit
+    # set to a list to record every device dispatch as (key, args, kwargs) —
+    # bench.py replays the log through runtime.flops to account the transfer
+    # path's matmul FLOPs (zero overhead when None)
+    call_log: Optional[list] = None
     _jitted: dict = dataclasses.field(default_factory=dict)
+    _raw: dict = dataclasses.field(default_factory=dict)  # key -> pre-jit fn
 
     def __post_init__(self):
         if self.mesh is not None:
@@ -302,6 +307,17 @@ class ModelBundle:
         spec = P("data", *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(self.mesh, spec))
 
+    def _wrap_precision(self, f):
+        """Trace ``f`` under the model config's compute dtype (bf16 matmuls
+        when ModelConfig.compute_dtype="bfloat16"; outputs stay fp32)."""
+        from mst_tpu.ops.precision import precision
+        dtype = self.model.config.compute_dtype
+
+        def wrapped(*args, **kwargs):
+            with precision(dtype):
+                return f(*args, **kwargs)
+        return wrapped
+
     def fn(self, key: str):
         """Cached jitted model methods (compiled once per input shape)."""
         if key not in self._jitted:
@@ -314,8 +330,10 @@ class ModelBundle:
                     packed_p = _pack_output(x_p, tpb)
                     packed_u = _pack_output(x_u, tpb) if unpitched else None
                     return packed_p, packed_u
-                self._jitted[key] = jax.jit(apply_packed,
-                                            static_argnames=("unpitched",))
+                self._raw[key] = apply_packed
+                self._jitted[key] = jax.jit(
+                    self._wrap_precision(apply_packed),
+                    static_argnames=("unpitched",))
             elif key.startswith("raster_extract"):
                 # one dispatch: on-device rasterization of both note families
                 # + the latent extractor, for a whole batch of B songs
@@ -338,26 +356,37 @@ class ModelBundle:
                         uchannel_mask=umask if has_unpitched else None,
                         method=StyleTransferModel.extract_style)
 
+                self._raw[key] = raster_extract
                 self._jitted[key] = jax.jit(
-                    raster_extract,
+                    self._wrap_precision(raster_extract),
                     static_argnames=("B", "Cb", "Rb", "T", "has_unpitched"))
             elif key.startswith("fused"):
                 _, cap, cb, *rest = key.split(":")
                 from mst_tpu.data.taxonomy import category_feature_table
                 table = jnp.asarray(category_feature_table())
-                self._jitted[key] = jax.jit(functools.partial(
+                raw = functools.partial(
                     _fused_transfer_apply, self.model, table,
                     capacity=int(cap), max_channels=int(cb),
-                    dense_compaction="dense" in rest))
+                    dense_compaction="dense" in rest)
+                self._raw[key] = raw
+                self._jitted[key] = jax.jit(self._wrap_precision(raw))
             else:
                 method = {
                     "extract": StyleTransferModel.extract_style,
                     "predict": StyleTransferModel.predict_song_info,
                 }[key]
-                self._jitted[key] = jax.jit(
-                    lambda params, *a, **kw: self.model.apply(
-                        params, *a, method=method, **kw))
-        return self._jitted[key]
+                raw = (lambda params, *a, **kw: self.model.apply(
+                    params, *a, method=method, **kw))
+                self._raw[key] = raw
+                self._jitted[key] = jax.jit(self._wrap_precision(raw))
+        if self.call_log is None:
+            return self._jitted[key]
+        jitted = self._jitted[key]
+
+        def logged(*args, **kwargs):
+            self.call_log.append((key, args, kwargs))
+            return jitted(*args, **kwargs)
+        return logged
 
 
 def sparsify_velocity_bias(params: dict) -> dict:
