@@ -75,6 +75,10 @@ _HDR = 8  # [bpm, mode_idx, n_picked, has_unpitched, count_p, count_u,
 
 _BLOCK = 128  # compaction block = one 128-lane row
 
+# ranks per chunk of the big-tier compaction lookup (bounds the per-job
+# rank->cell gather transient at CHUNK*128 floats = 8 MB)
+_COMPACT_CHUNK = 16384
+
 
 def _block_capacities(capacity: int) -> Tuple[int, int]:
     """Max nonempty 128-cell blocks the compaction can route at a capacity
@@ -148,18 +152,32 @@ def _compact_song(dur, vel, acc, n_channels, n_bars, capacity, max_blocks):
     prefix = jnp.cumsum(live_counts)            # (K,) inclusive block prefix
     total = prefix[-1]                          # exact: f32 integers < 2^24
 
+    def rank_lookup(q):
+        """Output ranks q -> (cell index, payload) records; the
+        ``within[live_idx[k]]`` gather is (len(q), 128)."""
+        k = jnp.minimum(jnp.searchsorted(prefix, q + 1.0, side="left"),
+                        max_blocks - 1)
+        before = jnp.where(k > 0, prefix[jnp.maximum(k - 1, 0)], 0.0)
+        rows = within[live_idx[k]]
+        idx_in = (rows < (q - before)[:, None] + 1.0).sum(axis=1)
+        gidx = live_idx[k] * _BLOCK + idx_in
+        live = q < total
+        gidx = jnp.where(live, jnp.minimum(gidx, M - 1), 0)
+        payload = jnp.where(live, flat[gidx], 0)
+        return jnp.stack([jnp.where(live, gidx, 0).astype(jnp.uint32),
+                          payload], axis=1)
+
     q = jnp.arange(capacity, dtype=jnp.float32)          # output ranks
-    k = jnp.minimum(jnp.searchsorted(prefix, q + 1.0, side="left"),
-                    max_blocks - 1)
-    before = jnp.where(k > 0, prefix[jnp.maximum(k - 1, 0)], 0.0)
-    rows = within[live_idx[k]]                           # (capacity, 128)
-    idx_in = (rows < (q - before)[:, None] + 1.0).sum(axis=1)
-    gidx = live_idx[k] * _BLOCK + idx_in
-    live = q < total
-    gidx = jnp.where(live, jnp.minimum(gidx, M - 1), 0)
-    payload = jnp.where(live, flat[gidx], 0)
-    rec = jnp.stack([jnp.where(live, gidx, 0).astype(jnp.uint32), payload],
-                    axis=1)
+    if capacity <= _COMPACT_CHUNK:
+        rec = rank_lookup(q)
+    else:
+        # big tiers run the lookup in rank chunks (lax.map = sequential
+        # scan) so the gather transient is O(chunk*128) not O(capacity*128)
+        # — the unchunked 1048576 tier would materialize 512 MB per vmapped
+        # job and OOM a 16 GB chip at realistic batch sizes; chunked, the
+        # top tier's transient equals the (known-good) 16384 tier's
+        rec = jax.lax.map(rank_lookup,
+                          q.reshape(-1, _COMPACT_CHUNK)).reshape(capacity, 2)
     return (total.astype(jnp.uint32), n_live.astype(jnp.uint32),
             rec)  # (capacity, 2) uint32
 

@@ -187,6 +187,32 @@ def test_dense_fallback_rechecks_true_counts(bundle, example_midis, tmp_path,
                     n_bars=n_bars)
 
 
+def test_compact_song_chunked_tier_matches_dense():
+    """Big compaction tiers run the rank->cell lookup in lax.map chunks (the
+    transient bound); records must stay bit-identical to the dense flat
+    jnp.nonzero compaction."""
+    from mst_tpu.transfer import (
+        _COMPACT_CHUNK, _block_capacities, _compact_song, _compact_song_dense)
+    rng = np.random.default_rng(0)
+    C, R, T = 2, 64, 4
+    shape = (C, R, T, 10, 56)
+    vel = ((rng.random(shape) > 0.9)
+           * rng.integers(1, 128, shape)).astype(np.uint8)
+    dur = rng.integers(0, 1000, shape).astype(np.uint16)
+    acc = rng.integers(0, 3, shape).astype(np.uint8)
+    capacity = 65536
+    assert capacity > _COMPACT_CHUNK  # the chunked branch is what's tested
+    args = (jnp.asarray(dur), jnp.asarray(vel), jnp.asarray(acc), C, R)
+    count, _, rec = jax.jit(lambda *a: _compact_song(
+        *a, capacity, _block_capacities(capacity)[0]))(*args)
+    count_d, _, rec_d = jax.jit(lambda *a: _compact_song_dense(
+        *a, capacity))(*args)
+    n = int(count)
+    assert n == int(count_d)
+    assert n > _COMPACT_CHUNK  # several chunks actually ran
+    np.testing.assert_array_equal(np.asarray(rec[:n]), np.asarray(rec_d[:n]))
+
+
 def test_extract_style_bucket_invariance(bundle, example_midis):
     """Latents are identical whichever bar bucket the song pads into."""
     import mst_tpu.transfer as tr
