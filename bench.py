@@ -109,6 +109,39 @@ def bench_transfer(bundle):
     return 1.0 / per_song, per_song, flops_per_song
 
 
+def bench_ingestion(n_songs=64):
+    """Host ingestion throughput: full parse -> event pairing -> scale
+    detection -> quantize/rasterize (get_model_input) in songs/sec — the one
+    pipeline stage with no device involvement. Songs come from the committed
+    corpus generator (deterministic seed) so the sample is corpus-like and
+    self-contained; ingestion uses the same thread pool as transfer_styles."""
+    import glob
+    import shutil
+    import subprocess
+    import sys as _sys
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mst_tpu.transfer import get_model_input
+
+    out = "/tmp/bench_ingest_corpus"
+    shutil.rmtree(out, ignore_errors=True)
+    subprocess.run(
+        [_sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "tools", "make_corpus.py"),
+         "--out", out, "--n", str(n_songs), "--seed", "12345"],
+        check=True, capture_output=True)
+    files = sorted(glob.glob(os.path.join(out, "*.mid")))
+    with ThreadPoolExecutor(max_workers=8) as pool:  # warmup (imports, JIT-
+        list(pool.map(get_model_input, files[:8]))   # free, but page caches)
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        songs = list(pool.map(get_model_input, files))
+    dt = time.perf_counter() - t0
+    assert all(s is not None for s in songs)
+    return len(files) / dt
+
+
 def bench_single_song(bundle):
     """Unamortized single-request latency: ONE composition, one style, via the
     same public path (transfer_style, B=1) — the north star's '<1 s per full
@@ -201,6 +234,17 @@ def main():
         # north star: <1 s per full song — vs_baseline > 1 means faster
         "vs_baseline": round(1.0 / (single_latency *
                                     TARGET_SONGS_PER_SEC), 4),
+        "baseline": "north-star-target",
+    }))
+
+    ingest_songs_per_sec = bench_ingestion()
+    print(json.dumps({
+        "metric": "host_ingestion",
+        "value": round(ingest_songs_per_sec, 4),
+        "unit": "songs/sec",
+        # anchored to the transfer north star: ingestion must never be the
+        # <1 s/song pipeline's bottleneck
+        "vs_baseline": round(ingest_songs_per_sec / TARGET_SONGS_PER_SEC, 4),
         "baseline": "north-star-target",
     }))
 
