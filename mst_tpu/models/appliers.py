@@ -23,10 +23,6 @@ N_UNPITCHED_NOTES = 47
 MAX_DURATION = 6.0
 
 
-def duration_activation(x):
-    return jax.nn.sigmoid(x) * MAX_DURATION
-
-
 class PitchedStyleApplier(nn.Module):
     """Parity: style/model.py:582-675."""
 
@@ -80,10 +76,11 @@ class PitchedStyleApplier(nn.Module):
         # (B,R,T,F10,56,.) and only its 5-feature output broadcasts over C
         x = ConcatDense(p, name="linear")([x1, x2])     # (B,C,R,T,F10,56,5)
 
-        duration = duration_activation(x[..., :1])
-        velocity = jax.nn.sigmoid(x[..., 1:2])
-        accidentals = jax.nn.sigmoid(x[..., 2:])
-        return jnp.concatenate([duration, velocity, accidentals], -1)
+        # duration = 6*sigmoid, velocity/accidentals = sigmoid
+        # (model.py:565-579) — one fused scale instead of slice+concat over
+        # the full output tensor (values identical)
+        scale = jnp.asarray([MAX_DURATION, 1.0, 1.0, 1.0, 1.0], x.dtype)
+        return jax.nn.sigmoid(x) * scale
 
 
 class UnpitchedStyleApplier(nn.Module):
@@ -115,7 +112,7 @@ class UnpitchedStyleApplier(nn.Module):
         x = x.reshape(x.shape[:4] + (N_UNPITCHED_NOTES, notes_linear_size))
         x = Dense(u, name="linear")(x)                   # (B,R,T,F10,47,2)
 
-        duration = duration_activation(x[..., :1])
-        velocity = jax.nn.sigmoid(x[..., 1:2])
-        x = jnp.concatenate([duration, velocity], -1)
+        # duration = 6*sigmoid, velocity = sigmoid — fused scale, see above
+        scale = jnp.asarray([MAX_DURATION, 1.0], x.dtype)
+        x = jax.nn.sigmoid(x) * scale
         return x[:, None]                                # (B,1,R,T,F10,47,2)
