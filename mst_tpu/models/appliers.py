@@ -10,8 +10,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mst_tpu.models.layers import (ConcatDense, Dense, leaky_relu,
-                                   mean_size)
+from mst_tpu.models.layers import (ConcatDense, Dense, DenseParams,
+                                   grid_times_w, leaky_relu, mean_size)
+from mst_tpu.ops import precision
 from mst_tpu.ops.shapes import squash_dims
 
 N_OCTAVES = 8
@@ -21,6 +22,18 @@ N_PITCHED_FEATURES = 5
 N_UNPITCHED_FEATURES = 2
 N_UNPITCHED_NOTES = 47
 MAX_DURATION = 6.0
+
+
+@jax.checkpoint
+def _fused_pitched_tail(xo, xd, w_grid, rest, scale):
+    """sigmoid(grid_contraction + rest) * scale without ever materializing
+    the (…, 8, 7, 30) note grid (see layers.grid_times_w). ``rest`` carries
+    the melody contribution + bias, pre-broadcast over channels. Checkpointed:
+    backward recomputes the fused chain from (xo, xd) instead of saving
+    grid-sized residuals — at training shapes that residual alone is ~2 GB."""
+    y = grid_times_w(xo, xd, w_grid)         # (B,C,R,T,F10,8,7,5)
+    y = squash_dims(y, 5, 7)                 # (B,C,R,T,F10,56,5)
+    return jax.nn.sigmoid(y + rest) * scale
 
 
 class PitchedStyleApplier(nn.Module):
@@ -55,32 +68,32 @@ class PitchedStyleApplier(nn.Module):
         # independent parts never expand over C) and the (B,C,R,T,F10,88)
         # concat input of the reference formulation is never materialized
         parts = [x1, x2, x3]
-        x = ConcatDense(linears_out * N_OCTAVES, name="octave_linear")(parts)
-        x = x.reshape(x.shape[:-1] + (N_OCTAVES, linears_out))
-        x1 = leaky_relu(x)[..., :, None, :]
+        xo = ConcatDense(linears_out * N_OCTAVES, name="octave_linear")(parts)
+        xo = xo.reshape(xo.shape[:-1] + (N_OCTAVES, linears_out))
 
-        x = ConcatDense(linears_out * N_SCALE_DEGREES,
-                        name="scale_degree_linear")(parts)
-        x = x.reshape(x.shape[:-1] + (N_SCALE_DEGREES, linears_out))
-        x2 = leaky_relu(x)[..., None, :, :]
-
-        x = leaky_relu(x1 + x2)                         # (..,oct,deg,30)
-        x1 = squash_dims(x, 5, 7)                       # (B,C,R,T,F10,56,30)
+        xd = ConcatDense(linears_out * N_SCALE_DEGREES,
+                         name="scale_degree_linear")(parts)
+        xd = xd.reshape(xd.shape[:-1] + (N_SCALE_DEGREES, linears_out))
 
         x = Dense(mean_size(self.melody_size, p, factor=3),
                   name="melody_linear")(melody)         # (B,R,T,F10,56,20)
-        x = leaky_relu(x)
-        x2 = x[:, None]                                 # (B,1,R,T,F10,56,20)
+        mel = leaky_relu(x)
 
-        # distribute the final linear too: the melody part contributes at
-        # (B,R,T,F10,56,.) and only its 5-feature output broadcasts over C
-        x = ConcatDense(p, name="linear")([x1, x2])     # (B,C,R,T,F10,56,5)
+        # the final linear distributes over its [note-grid(30), melody(20)]
+        # concat: the melody part contributes at (B,R,T,F10,56,.) and only
+        # its 5-feature output broadcasts over C, while the note-grid part
+        # fuses into the grid contraction (the (…,8,7,30) grid is never
+        # materialized — see _fused_pitched_tail)
+        kernel, bias = DenseParams(linears_out + mel.shape[-1], p,
+                                   name="linear")()
+        mel_c = precision.matmul(mel, kernel[linears_out:])[:, None]
 
         # duration = 6*sigmoid, velocity/accidentals = sigmoid
         # (model.py:565-579) — one fused scale instead of slice+concat over
         # the full output tensor (values identical)
-        scale = jnp.asarray([MAX_DURATION, 1.0, 1.0, 1.0, 1.0], x.dtype)
-        return jax.nn.sigmoid(x) * scale
+        scale = jnp.asarray([MAX_DURATION, 1.0, 1.0, 1.0, 1.0], xo.dtype)
+        return _fused_pitched_tail(xo, xd, kernel[:linears_out],
+                                   mel_c + bias, scale)
 
 
 class UnpitchedStyleApplier(nn.Module):

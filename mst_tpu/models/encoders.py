@@ -148,7 +148,14 @@ class StyleEncoder(nn.Module):
 class MelodyEncoder(nn.Module):
     """Parity: style/model.py:203-297 — the octave (+) scale-degree
     "note generating submodule" builds the 56-note axis by broadcast-adding an
-    (octave, k) and a (scale_degree, k) embedding grid."""
+    (octave, k) and a (scale_degree, k) embedding grid.
+
+    NOTE: this tail deliberately keeps the dense cat+Dense formulation. A
+    fused multiply-reduce variant (as in appliers._fused_pitched_tail) was
+    measured on the v5e: 5-10x faster in isolation but +16 ms/step in the
+    full training program (41 -> 57 ms) — the checkpointed recompute
+    interacts badly with the surrounding fusion here, unlike in the applier
+    where the same rewrite is neutral-time and saves the grid residual."""
 
     melody_size: int = 8
     beat_size: int = 64
@@ -178,23 +185,23 @@ class MelodyEncoder(nn.Module):
 
         x = Dense(m * N_OCTAVES, name="octave_linear")(y)
         x = x.reshape(x.shape[:-1] + (N_OCTAVES, m))
-        x1 = leaky_relu(x)[..., :, None, :]             # (.., oct, 1, m)
+        x1 = leaky_relu(x)[..., :, None, :]
 
         x = Dense(m * N_SCALE_DEGREES, name="scale_degree_linear")(y)
         x = x.reshape(x.shape[:-1] + (N_SCALE_DEGREES, m))
-        x2 = leaky_relu(x)[..., None, :, :]             # (.., 1, deg, m)
+        x2 = leaky_relu(x)[..., None, :, :]
 
-        x = leaky_relu(x1 + x2)                         # (.., oct, deg, m)
-        x1 = squash_dims(x, 5, 7)                       # (B,C,R,T,F10,56,m)
+        x = leaky_relu(x1 + x2)
+        x1 = squash_dims(x, 5, 7)
 
         x = Dense(mean_size(N_PITCHED_FEATURES, m), name="channels_linear")(
             channels)
-        x2 = leaky_relu(x)                              # (B,C,R,T,F10,56,F)
+        x2 = leaky_relu(x)
 
         x = cat_with_broadcast([x1, x2], -1)
         x = Dense(m, name="linear")(x)
         x = leaky_relu(x)
-        return combine(x, axis=1, mask=channel_mask)    # (B,R,T,F10,56,m)
+        return combine(x, axis=1, mask=channel_mask)
 
 
 class PitchedRhythmEncoder(nn.Module):
