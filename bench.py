@@ -197,6 +197,42 @@ def bench_train_step(bundle):
     return steps_per_sec, flops_per_step, config.model.compute_dtype
 
 
+def bench_train_scan(bundle, k: int = 8):
+    """Sustained training throughput with K steps per dispatch
+    (runtime.train.make_multi_train_step): one jit call + one stacked-loss
+    fetch per K steps. On the remote-attached chip the per-dispatch
+    transport round-trip (~30-40 ms) dwarfs the ~12 ms of device compute, so
+    this is the train loop's real steady-state configuration
+    (train-model.py --steps-per-dispatch)."""
+    import jax
+    import numpy as np
+    from mst_tpu.config import Config
+    from mst_tpu.data.pipeline import get_input
+    from mst_tpu.io import load_midi_from_file
+    from mst_tpu.ops.events import read_midi
+    from mst_tpu.runtime.train import (
+        create_train_state, device_batch_from_songs, make_multi_train_step)
+
+    config = Config()
+    channels, info = read_midi(load_midi_from_file(COMPOSITIONS[0]))
+    song = get_input(channels, info)
+    cap = min(800 // song.n_channels, 128)
+    kbatch = device_batch_from_songs([song] * k, 8, 128, bar_cap=[cap] * k)
+    state = create_train_state(bundle.model, config, kbatch,
+                               jax.random.PRNGKey(0))
+    multi = make_multi_train_step(
+        bundle.model, config, has_unpitched=kbatch.unpitched is not None, k=k)
+    for _ in range(2):  # compile + warmup
+        state, vec = multi(state, kbatch)
+    np.asarray(vec)
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, vec = multi(state, kbatch)
+        np.asarray(vec)  # the real loop's per-dispatch loss fetch
+    return (n * k) / (time.perf_counter() - t0)
+
+
 def main():
     from mst_tpu.runtime.flops import mfu
 
@@ -256,14 +292,28 @@ def main():
         "vs_baseline": round(steps_per_sec / TARGET_TRAIN_STEPS_PER_SEC, 4),
         "baseline": "north-star-target",
     }))
+    scan_k = 8
+    scan_steps_per_sec = bench_train_scan(bundle, k=scan_k)
+    print(json.dumps({
+        "metric": "train_step_scan",
+        "value": round(scan_steps_per_sec, 4),
+        "unit": "steps/sec/chip",
+        "steps_per_dispatch": scan_k,
+        "vs_baseline": round(scan_steps_per_sec / TARGET_TRAIN_STEPS_PER_SEC,
+                             4),
+        "baseline": "north-star-target",
+    }))
+
+    # utilization at the sustained (K-steps-per-dispatch) training rate —
+    # the per-step-dispatch rate above is transport-bound, not a chip number
+    best = max(steps_per_sec, scan_steps_per_sec)
     print(json.dumps({
         "metric": "train_step_mfu",
-        "value": round(mfu(flops_per_step, 1.0 / steps_per_sec, dtype), 6),
+        "value": round(mfu(flops_per_step, 1.0 / best, dtype), 6),
         "unit": "fraction_of_peak",
         "flops_per_step": round(flops_per_step),
         "compute_dtype": dtype,
-        "vs_baseline": round(mfu(flops_per_step, 1.0 / steps_per_sec, dtype),
-                             6),
+        "vs_baseline": round(mfu(flops_per_step, 1.0 / best, dtype), 6),
         "baseline": "chip-peak",
     }))
 

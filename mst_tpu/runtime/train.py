@@ -139,15 +139,10 @@ def loss_fn(model: StyleTransferModel, params, batch: Batch,
         pitched_pad_mask=p_mask, unpitched_pad_mask=u_mask)
 
 
-def make_train_step(model: StyleTransferModel, config: Config,
-                    has_unpitched: bool, fetch_losses: bool = True):
-    """One micro-step: grad, accumulate (sum), apply Adam every ``iter_size``
-    micro-steps with the decayed learning rate. Fully jit-compatible.
-
-    With ``fetch_losses=False`` the returned losses are the raw device vector
-    (convert later with ``LossDict(*np.asarray(vec))``) — the caller can defer
-    the host fetch one iteration so it overlaps the next step's compute
-    instead of synchronizing every step."""
+def _make_step_fn(model: StyleTransferModel, config: Config,
+                  has_unpitched: bool):
+    """The un-jitted micro-step body shared by make_train_step (one dispatch
+    per step) and make_multi_train_step (a K-step lax.scan per dispatch)."""
     opt = make_optimizer(config)
     iter_size = config.train.iter_size
 
@@ -189,6 +184,20 @@ def make_train_step(model: StyleTransferModel, config: Config,
         # scalar fetches cost a transport round-trip each on remote TPUs)
         return new_state, jnp.stack(tuple(losses))
 
+    return step
+
+
+def make_train_step(model: StyleTransferModel, config: Config,
+                    has_unpitched: bool, fetch_losses: bool = True):
+    """One micro-step: grad, accumulate (sum), apply Adam every ``iter_size``
+    micro-steps with the decayed learning rate. Fully jit-compatible.
+
+    With ``fetch_losses=False`` the returned losses are the raw device vector
+    (convert later with ``LossDict(*np.asarray(vec))``) — the caller can defer
+    the host fetch one iteration so it overlaps the next step's compute
+    instead of synchronizing every step."""
+    step = _make_step_fn(model, config, has_unpitched)
+
     jitted = jax.jit(step, donate_argnums=(0,))
     if not fetch_losses:
         return jitted
@@ -199,6 +208,81 @@ def make_train_step(model: StyleTransferModel, config: Config,
         return new_state, LossDict(*[float(v) for v in values])
 
     return wrapped
+
+
+def make_multi_train_step(model: StyleTransferModel, config: Config,
+                          has_unpitched: bool, k: int):
+    """K micro-steps as ONE jitted ``lax.scan`` dispatch.
+
+    On a remote-attached TPU every jit dispatch costs a transport round-trip
+    (~30-40 ms through this container's tunnel) that dwarfs the step's
+    ~12 ms of device compute; per-step dispatch caps training at ~24
+    steps/sec no matter how fast the chip is. Scanning K steps inside one
+    program amortizes the round-trip K-fold: one dispatch, one (K, n_losses)
+    fetch. No reference analogue (torch eager dispatches per op); this is
+    the jit/XLA-native shape of the training loop.
+
+    The input is a :class:`Batch` whose array leaves carry a leading ``K*B``
+    axis (build it with ``device_batch_from_songs`` over K*B songs — one
+    rasterize dispatch for the whole stack); the reshape to (K, B, …)
+    happens inside the program so no extra device ops are dispatched.
+    Returns ``(state, (K, n_losses) loss matrix)``. Semantics are identical
+    to K sequential :func:`make_train_step` calls (gradient accumulation and
+    the StepLR decay advance per scanned step; tests/test_runtime.py pins
+    the equivalence).
+    """
+    step = _make_step_fn(model, config, has_unpitched)
+
+    def multi(state: TrainState, kbatch: Batch):
+        def split(x):
+            return (None if x is None else
+                    x.reshape((k, x.shape[0] // k) + x.shape[1:]))
+
+        batches = Batch(*(split(f) for f in kbatch))
+        return jax.lax.scan(step, state, batches)
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
+def group_stacks(stream, k: int, signature, limit: Optional[int] = None):
+    """Group CONSECUTIVE same-signature items from ``(cursor, item)`` pairs
+    into stacks of exactly ``k`` for the multi-step path.
+
+    Yields ``(cursor, [items])`` with 1 <= len <= k: a full stack when k
+    consecutive items share ``signature(item)``, else the buffered items are
+    flushed as singletons (so only two program shapes exist per signature:
+    the K-stack and the single step). Consecutive-only grouping preserves
+    the exact song order — resume cursors and loss curves stay comparable
+    with the per-step path. ``limit``: total item budget (the campaign's
+    remaining iterations) — once fewer than k remain, items flush as
+    singletons so a run of exactly ``n_iterations`` never overshoots."""
+    buf = []
+    buf_sig = None
+    emitted = 0
+
+    def room():
+        return limit is None or emitted + k <= limit
+
+    for cursor, item in stream:
+        sig = signature(item)
+        if buf and (sig != buf_sig or not room()):
+            for c, it in buf:
+                yield c, [it]
+                emitted += 1
+            buf = []
+        if room():
+            buf.append((cursor, item))
+            buf_sig = sig
+            if len(buf) == k:
+                yield buf[-1][0], [it for _, it in buf]
+                emitted += k
+                buf = []
+        else:
+            yield cursor, [item]
+            emitted += 1
+    for c, it in buf:
+        yield c, [it]
+        emitted += 1
 
 
 def batch_from_song(song: Song, max_n_bars: Optional[int] = None,

@@ -52,7 +52,16 @@ def main():
                         help="matmul compute dtype (params/grads stay "
                              "float32; bfloat16 doubles MXU throughput). "
                              "Default: ModelConfig.compute_dtype")
+    parser.add_argument("--steps-per-dispatch", type=int, default=1,
+                        help="scan this many steps inside ONE jitted "
+                             "dispatch (amortizes the per-dispatch transport "
+                             "round-trip of a remote-attached TPU; consecutive "
+                             "same-bucket batches are stacked, others run "
+                             "single). Requires no --exact-shapes/mesh")
     args = parser.parse_args()
+    if args.steps_per_dispatch > 1 and args.exact_shapes:
+        raise SystemExit("--steps-per-dispatch needs bucketed shapes "
+                         "(drop --exact-shapes)")
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -70,8 +79,8 @@ def main():
     from mst_tpu.runtime.checkpoint import CheckpointManager
     from mst_tpu.runtime.metrics import CsvLogger, ProgressBar, flatten_losses
     from mst_tpu.runtime.train import (
-        batch_from_song, bucket_shape, create_train_state,
-        device_batch_from_song, make_train_step)
+        batch_from_song, bucket_shape, create_train_state, group_stacks,
+        make_train_step, make_multi_train_step)
 
     config = Config(train=TrainConfig(n_iterations=args.iters, seed=args.seed,
                                       save_interval=args.save_interval,
@@ -120,27 +129,27 @@ def main():
         from mst_tpu.parallel import create_mesh
         mesh = create_mesh(n_seq=args.seq_parallel)
         print(f"Device mesh: {dict(mesh.shape)}")
+    if args.steps_per_dispatch > 1 and mesh is not None:
+        raise SystemExit("--steps-per-dispatch>1 is single-device for now "
+                         "(stacked batches are not mesh-sharded)")
 
-    def batch_stream():
-        """Yield (data_cursor, batch): a single song (reference behavior) or a
-        padded fixed-shape batch of several, sharded over the mesh if present.
-        Runs on the prefetch thread, so host parsing AND the host->HBM
-        transfer of the next batch overlap the current device step (double
-        buffering — jax transfers are dispatched asynchronously)."""
-        from mst_tpu.runtime.train import clamp_bar_bucket, pad_batch
+    def group_stream():
+        """Yield (data_cursor, (songs, Cb, Rb, caps)): one bucketed group of
+        ``batch_size`` songs per training step, shapes decided but device
+        arrays not yet built (the build stage below stacks consecutive
+        same-bucket groups into one dispatch when --steps-per-dispatch>1)."""
+        from mst_tpu.runtime.train import clamp_bar_bucket
         while True:
             if args.batch_size == 1:
                 filename, song = next(songs)
-                max_n_bars = config.train.max_total_bars // song.n_channels
-                if args.exact_shapes:
-                    yield song.cursor, batch_from_song(song, max_n_bars)
+                if song.pitched.sum() == 0:
                     continue
+                max_n_bars = config.train.max_total_bars // song.n_channels
                 Cb = bucket_shape(song.n_channels,
                                   config.train.channel_buckets)
                 Rb = bucket_shape(min(song.n_bars, max_n_bars),
                                   config.train.bar_buckets)
-                yield song.cursor, device_batch_from_song(
-                    song, Cb, Rb, bar_cap=max_n_bars)
+                yield song.cursor, ([song], Cb, Rb, [min(max_n_bars, Rb)])
                 continue
             group, caps = [], []
             while len(group) < args.batch_size:
@@ -165,22 +174,64 @@ def main():
                                   config.train.batch_cell_budget,
                                   config.train.bar_buckets)
             caps = [min(c, Rb) for c in caps]
+            yield group[-1].cursor, (group, Cb, Rb, caps)
+
+    def stack_signature(g):
+        songs_g, Cb, Rb, _ = g
+        has_u = any(s.unpitched is not None and s.unpitched.sum() > 0
+                    for s in songs_g)
+        return (len(songs_g), Cb, Rb, songs_g[0].pitched.shape[2], has_u)
+
+    spd = args.steps_per_dispatch
+    if spd > 1:
+        stacks = group_stacks(group_stream(), spd, stack_signature,
+                              limit=config.train.n_iterations
+                              - start_iteration)
+    else:
+        stacks = ((c, [g]) for c, g in group_stream())
+
+    def build_stream():
+        """Build device batches on the prefetch thread: one rasterize
+        dispatch covers the WHOLE stack (K*B songs), so host parsing, the
+        host->HBM transfer AND the raster dispatch of the next stack overlap
+        the current train dispatch."""
+        from mst_tpu.runtime.train import device_batch_from_songs, pad_batch
+        for cursor, groups in stacks:
+            songs_flat = [s for g in groups for s in g[0]]
+            _, Cb, Rb, _ = groups[0]
+            caps = [c for g in groups for c in g[3]]
             if args.exact_shapes:
-                batch = pad_batch(group, Cb, Rb, bar_cap=caps)
+                if args.batch_size == 1:
+                    batch = batch_from_song(
+                        songs_flat[0],
+                        config.train.max_total_bars
+                        // songs_flat[0].n_channels)
+                    if batch is None:
+                        continue
+                else:
+                    batch = pad_batch(songs_flat, Cb, Rb, bar_cap=caps)
             else:
-                from mst_tpu.runtime.train import device_batch_from_songs
-                batch = device_batch_from_songs(group, Cb, Rb, bar_cap=caps)
+                batch = device_batch_from_songs(songs_flat, Cb, Rb,
+                                                bar_cap=caps)
             if mesh is not None:
                 from mst_tpu.parallel import shard_batch
                 batch = shard_batch(batch, mesh, seq=args.seq_parallel > 1)
-            yield group[-1].cursor, batch
+            yield cursor, (len(groups), batch)
 
-    batches = prefetch_iterator(batch_stream(),
+    batches = prefetch_iterator(build_stream(),
                                 depth=config.train.prefetch_depth)
     from mst_tpu.ops.losses import LossDict
 
-    def record(iteration, loss_vec, has_unpitched):
-        losses = LossDict(*[float(v) for v in np.asarray(loss_vec)])
+    def record(base_iteration, loss_vecs, has_unpitched):
+        # one host fetch for the whole dispatch: (n,) for a single step or
+        # (K, n) for a K-step scan — reshaped host-side (indexing a device
+        # array would dispatch a device op, i.e. a transport round-trip)
+        arr = np.asarray(loss_vecs)
+        for j, row in enumerate(arr.reshape(-1, arr.shape[-1])):
+            _record_row(base_iteration + j, row, has_unpitched)
+
+    def _record_row(iteration, row, has_unpitched):
+        losses = LossDict(*[float(v) for v in row])
         values = dict(
             total_loss=float(losses.total),
             pitched_loss=float(losses.pitched_total),
@@ -201,43 +252,53 @@ def main():
         logger.append(iteration=iteration, **flatten_losses(losses))
 
     data_cursor = resume_cursor
-    pending = None  # (iteration, device loss vector, has_unpitched)
-    for iteration in range(start_iteration, config.train.n_iterations):
-        data_cursor, batch = next(batches)
-        if batch is None:
-            continue
+    pending = None  # (first iteration, (K, n) device loss matrix, has_u)
+    profiling = False
+    iteration = start_iteration
+    while iteration < config.train.n_iterations:
+        data_cursor, (ksteps, batch) = next(batches)
         has_unpitched = batch.unpitched is not None
         if state is None:
             state = create_train_state(model, config, batch, rng)
             if args.resume and start_iteration:
                 state = checkpoints.restore(state)
 
-        key = has_unpitched
+        key = (has_unpitched, ksteps)
         if key not in step_fns:
-            step_fns[key] = make_train_step(model, config, has_unpitched,
-                                            fetch_losses=False)
-        if args.profile_dir and iteration == 10:
+            if ksteps == 1:
+                step_fns[key] = make_train_step(model, config, has_unpitched,
+                                                fetch_losses=False)
+            else:
+                step_fns[key] = make_multi_train_step(model, config,
+                                                      has_unpitched, ksteps)
+        if args.profile_dir and not profiling and iteration >= 10:
             jax.profiler.start_trace(args.profile_dir)
+            profiling = True
         from mst_tpu.ops.seq_context import sequence_sharding
         with sequence_sharding(mesh):  # no-op when mesh is None or seq==1
             state, loss_vec = step_fns[key](state, batch)
-        if args.profile_dir and iteration == 15:
+        if args.profile_dir and profiling and iteration + ksteps >= 15:
             jax.profiler.stop_trace()
+            args.profile_dir = None
 
-        # materialize the PREVIOUS iteration's losses: the host fetch then
-        # overlaps this iteration's device compute instead of synchronizing
+        # materialize the PREVIOUS dispatch's losses: the host fetch then
+        # overlaps this dispatch's device compute instead of synchronizing
         # every step
         if pending is not None:
             record(*pending)
         pending = (iteration, loss_vec, has_unpitched)
 
-        if iteration % config.train.save_interval == 0:
+        crossed_save = (iteration // config.train.save_interval) != \
+            ((iteration + ksteps - 1) // config.train.save_interval) or \
+            iteration % config.train.save_interval == 0
+        iteration += ksteps
+        if crossed_save:
             # drain the deferred fetch first: record() asserts every loss
             # component is finite, so a NaN-poisoned state is never persisted
             # (the loss of the step that produced `state` is still pending)
             record(*pending)
             pending = None
-            checkpoints.save(iteration, state, cursor=data_cursor)
+            checkpoints.save(iteration - 1, state, cursor=data_cursor)
 
     if pending is not None:
         record(*pending)
