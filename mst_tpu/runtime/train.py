@@ -211,7 +211,8 @@ def make_train_step(model: StyleTransferModel, config: Config,
 
 
 def make_multi_train_step(model: StyleTransferModel, config: Config,
-                          has_unpitched: bool, k: int):
+                          has_unpitched: bool, k: int,
+                          b_major: bool = False):
     """K micro-steps as ONE jitted ``lax.scan`` dispatch.
 
     On a remote-attached TPU every jit dispatch costs a transport round-trip
@@ -228,15 +229,27 @@ def make_multi_train_step(model: StyleTransferModel, config: Config,
     happens inside the program so no extra device ops are dispatched.
     Returns ``(state, (K, n_losses) loss matrix)``. Semantics are identical
     to K sequential :func:`make_train_step` calls (gradient accumulation and
-    the StepLR decay advance per scanned step; tests/test_runtime.py pins
+    the StepLR decay advance per scanned step; tests/test_multi_step.py pins
     the equivalence).
+
+    ``b_major``: the stack axis is laid out ``b*K + k`` instead of
+    ``k*B + b``. Use this under a data-parallel mesh: sharding the leading
+    axis over ``data`` then gives each device contiguous whole-``b`` blocks
+    (its K steps of its batch rows stay local), and the in-program
+    (B, K, …) -> (K, B, …) transpose permutes only replicated/unsharded
+    axes, so the scan slices inherit the batch-axis sharding and XLA still
+    inserts one grad psum per scanned step over ICI.
     """
     step = _make_step_fn(model, config, has_unpitched)
 
     def multi(state: TrainState, kbatch: Batch):
         def split(x):
-            return (None if x is None else
-                    x.reshape((k, x.shape[0] // k) + x.shape[1:]))
+            if x is None:
+                return None
+            if b_major:
+                x = x.reshape((x.shape[0] // k, k) + x.shape[1:])
+                return jnp.moveaxis(x, 0, 1)
+            return x.reshape((k, x.shape[0] // k) + x.shape[1:])
 
         batches = Batch(*(split(f) for f in kbatch))
         return jax.lax.scan(step, state, batches)

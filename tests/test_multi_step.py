@@ -59,6 +59,51 @@ def test_multi_step_equals_sequential():
     assert int(s2.opt_step) == int(s.opt_step) == 1
 
 
+def test_multi_step_b_major_sharded_matches_sequential():
+    """The K-step scan under a data-parallel mesh (b-major stack layout,
+    leading axis sharded over ``data``) == the sequential sharded loop."""
+    from mst_tpu.parallel import create_mesh, replicate, shard_batch
+
+    config = Config()
+    model = StyleTransferModel(config=config.model)
+    K, B = 2, 4
+    batches = [_tiny_batch(B=B, C=1, R=3, seed=s) for s in (0, 1)]
+    mesh = create_mesh(n_data=4, devices=jax.devices()[:4])
+
+    step = make_train_step(model, config, has_unpitched=False,
+                           fetch_losses=False)
+    s = create_train_state(model, config, batches[0], jax.random.PRNGKey(0))
+    s = replicate(s, mesh)
+    seq_losses = []
+    for b in batches:
+        s, v = step(s, shard_batch(b, mesh))
+        seq_losses.append(np.asarray(v))
+
+    # b-major stack: row b*K + k holds step k's row b
+    fields = {}
+    for name in Batch._fields:
+        vals = [getattr(b, name) for b in batches]
+        if vals[0] is None:
+            fields[name] = None
+        else:
+            stacked = jnp.stack(vals, axis=1)          # (B, K, ...)
+            fields[name] = stacked.reshape((B * K,) + stacked.shape[2:])
+    kbatch = shard_batch(Batch(**fields), mesh)
+
+    multi = make_multi_train_step(model, config, has_unpitched=False, k=K,
+                                  b_major=True)
+    s2 = create_train_state(model, config, batches[0], jax.random.PRNGKey(0))
+    s2 = replicate(s2, mesh)
+    s2, loss_mat = multi(s2, kbatch)
+
+    np.testing.assert_allclose(np.asarray(loss_mat), np.stack(seq_losses),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=5e-6)
+
+
 def test_group_stacks_consecutive_same_signature():
     stream = [(i, s) for i, s in enumerate("AABBBBAB")]
     out = list(group_stacks(iter(stream), 2, signature=lambda x: x))

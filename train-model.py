@@ -129,9 +129,11 @@ def main():
         from mst_tpu.parallel import create_mesh
         mesh = create_mesh(n_seq=args.seq_parallel)
         print(f"Device mesh: {dict(mesh.shape)}")
-    if args.steps_per_dispatch > 1 and mesh is not None:
-        raise SystemExit("--steps-per-dispatch>1 is single-device for now "
-                         "(stacked batches are not mesh-sharded)")
+    if args.steps_per_dispatch > 1 and mesh is not None and \
+            args.batch_size % mesh.shape["data"] != 0:
+        raise SystemExit("--steps-per-dispatch with a mesh needs "
+                         "--batch-size divisible by the data axis (each "
+                         "device must own whole batch rows)")
 
     def group_stream():
         """Yield (data_cursor, (songs, Cb, Rb, caps)): one bucketed group of
@@ -197,9 +199,17 @@ def main():
         the current train dispatch."""
         from mst_tpu.runtime.train import device_batch_from_songs, pad_batch
         for cursor, groups in stacks:
-            songs_flat = [s for g in groups for s in g[0]]
+            if mesh is not None and len(groups) > 1:
+                # b-major stack layout: under a data-parallel mesh the
+                # leading (B*K) axis shards into whole-b blocks (see
+                # make_multi_train_step(b_major=True))
+                B = len(groups[0][0])
+                songs_flat = [g[0][b] for b in range(B) for g in groups]
+                caps = [g[3][b] for b in range(B) for g in groups]
+            else:
+                songs_flat = [s for g in groups for s in g[0]]
+                caps = [c for g in groups for c in g[3]]
             _, Cb, Rb, _ = groups[0]
-            caps = [c for g in groups for c in g[3]]
             if args.exact_shapes:
                 if args.batch_size == 1:
                     batch = batch_from_song(
@@ -269,8 +279,9 @@ def main():
                 step_fns[key] = make_train_step(model, config, has_unpitched,
                                                 fetch_losses=False)
             else:
-                step_fns[key] = make_multi_train_step(model, config,
-                                                      has_unpitched, ksteps)
+                step_fns[key] = make_multi_train_step(
+                    model, config, has_unpitched, ksteps,
+                    b_major=mesh is not None)
         if args.profile_dir and not profiling and iteration >= 10:
             jax.profiler.start_trace(args.profile_dir)
             profiling = True
