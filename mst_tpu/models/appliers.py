@@ -11,9 +11,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mst_tpu.models.layers import (ConcatDense, Dense, DenseParams,
-                                   grid_times_w, leaky_relu, mean_size)
+                                   leaky_relu, mean_size)
 from mst_tpu.ops import precision
-from mst_tpu.ops.shapes import squash_dims
+from mst_tpu.ops.pallas_grid import fused_grid_tail
 
 N_OCTAVES = 8
 N_SCALE_DEGREES = 7
@@ -22,18 +22,6 @@ N_PITCHED_FEATURES = 5
 N_UNPITCHED_FEATURES = 2
 N_UNPITCHED_NOTES = 47
 MAX_DURATION = 6.0
-
-
-@jax.checkpoint
-def _fused_pitched_tail(xo, xd, w_grid, rest, scale):
-    """sigmoid(grid_contraction + rest) * scale without ever materializing
-    the (…, 8, 7, 30) note grid (see layers.grid_times_w). ``rest`` carries
-    the melody contribution + bias, pre-broadcast over channels. Checkpointed:
-    backward recomputes the fused chain from (xo, xd) instead of saving
-    grid-sized residuals — at training shapes that residual alone is ~2 GB."""
-    y = grid_times_w(xo, xd, w_grid)         # (B,C,R,T,F10,8,7,5)
-    y = squash_dims(y, 5, 7)                 # (B,C,R,T,F10,56,5)
-    return jax.nn.sigmoid(y + rest) * scale
 
 
 class PitchedStyleApplier(nn.Module):
@@ -82,8 +70,10 @@ class PitchedStyleApplier(nn.Module):
         # the final linear distributes over its [note-grid(30), melody(20)]
         # concat: the melody part contributes at (B,R,T,F10,56,.) and only
         # its 5-feature output broadcasts over C, while the note-grid part
-        # fuses into the grid contraction (the (…,8,7,30) grid is never
-        # materialized — see _fused_pitched_tail)
+        # fuses into the grid contraction — on TPU a Pallas kernel with a
+        # custom VJP keeps the (…,8,7,30) grid (and its backward cotangent,
+        # the training step's biggest HBM-traffic source) entirely in VMEM
+        # (ops/pallas_grid.py)
         kernel, bias = DenseParams(linears_out + mel.shape[-1], p,
                                    name="linear")()
         mel_c = precision.matmul(mel, kernel[linears_out:])[:, None]
@@ -91,9 +81,8 @@ class PitchedStyleApplier(nn.Module):
         # duration = 6*sigmoid, velocity/accidentals = sigmoid
         # (model.py:565-579) — one fused scale instead of slice+concat over
         # the full output tensor (values identical)
-        scale = jnp.asarray([MAX_DURATION, 1.0, 1.0, 1.0, 1.0], xo.dtype)
-        return _fused_pitched_tail(xo, xd, kernel[:linears_out],
-                                   mel_c + bias, scale)
+        return fused_grid_tail(xo, xd, kernel[:linears_out], mel_c + bias,
+                               (MAX_DURATION, 1.0, 1.0, 1.0, 1.0))
 
 
 class UnpitchedStyleApplier(nn.Module):

@@ -151,7 +151,7 @@ class MelodyEncoder(nn.Module):
     (octave, k) and a (scale_degree, k) embedding grid.
 
     NOTE: this tail deliberately keeps the dense cat+Dense formulation. A
-    fused multiply-reduce variant (as in appliers._fused_pitched_tail) was
+    fused multiply-reduce variant (as in the pitched applier's tail) was
     measured on the v5e: 5-10x faster in isolation but +16 ms/step in the
     full training program (41 -> 57 ms) — the checkpointed recompute
     interacts badly with the surrounding fusion here, unlike in the applier

@@ -134,27 +134,9 @@ def leaky_relu(x):
     return jax.nn.leaky_relu(x, negative_slope=0.01)
 
 
-def grid_times_w(xo, xd, w):
-    """``LR(LR(xo)[...,:,None,:] + LR(xd)[...,None,:,:]) @ w`` over the
-    trailing ``k`` axis — as a fused multiply-reduce, not a ``dot``.
-
-    ``xo``: (…, O, k) pre-activation octave embeddings, ``xd``: (…, D, k)
-    pre-activation scale-degree embeddings, ``w``: (k, F). Returns
-    (…, O, D, F). This is the "note generating submodule" broadcast grid
-    (style/model.py:203-297, 582-675): the reference materializes the
-    (…, O, D, k) grid and feeds it to a Linear. On TPU a dot's operands are
-    materialized to HBM, and at training shapes that grid is the model's
-    single largest tensor (~GBs at (B8,C8,R128,T4,F10)) — the step is
-    HBM-bandwidth-bound, so writing + re-reading it costs more than the
-    whole contraction. With ``k`` this small (8–30) the MXU is useless
-    anyway (128x128 tiles), so the contraction is expressed as
-    broadcast-multiply + sum, which XLA loop-fuses with the producing
-    elementwise chain: the grid never exists in memory, only the inputs are
-    read and only the (…, O, D, F) output is written. Callers wrap their
-    tail in ``jax.checkpoint`` so the backward pass recomputes the same
-    fused graph instead of saving grid-sized residuals.
-    """
-    x1 = leaky_relu(xo)[..., :, None, :, None]   # (…, O, 1, k, 1)
-    x2 = leaky_relu(xd)[..., None, :, :, None]   # (…, 1, D, k, 1)
-    grid = leaky_relu(x1 + x2)                   # (…, O, D, k, 1)
-    return (grid * w).sum(axis=-2)               # (…, O, D, F)
+# NOTE: the "note generating submodule" grid contraction
+# (style/model.py:203-297, 582-675) lives in ops/pallas_grid.py — a Pallas
+# TPU kernel with a custom VJP (jnp fallback off-TPU) that keeps the
+# (…, octave, degree, k) grid out of HBM in BOTH directions; at training
+# shapes that grid is the model's single largest tensor (~GBs) and the step
+# is HBM-bandwidth-bound.

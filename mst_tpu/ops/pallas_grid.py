@@ -1,0 +1,245 @@
+"""Pallas TPU kernel for the note-grid tail of the pitched style applier.
+
+The "note generating submodule" (style/model.py:582-675, thesis fig) forms a
+(…, octave, degree, k) broadcast grid from an octave embedding ``xo`` and a
+scale-degree embedding ``xd``, contracts it with a (k, F) weight, adds the
+melody contribution and squashes through sigmoids:
+
+    out = sigmoid(LR(LR(xo)[…,o,None,k] + LR(xd)[…,None,d,k]) @ w + rest) * scale
+
+This tail is the training step's single largest cost center on the v5e
+(committed profile: ~4.7 ms and ~4 GB of HBM traffic per step at the bench
+bucket, fwd+bwd). The XLA formulation (ops of models/layers.grid_times_w under
+``jax.checkpoint``) avoids materializing the grid in the FORWARD pass, but the
+backward's grid-shaped cotangent feeds three different reductions (d/xo, d/xd,
+d/w), so XLA materializes grid-scale intermediates to HBM — ~1 GB per pass at
+training shapes. The step is HBM-bandwidth-bound, so that traffic IS the cost.
+
+This kernel computes the whole tail — and, via ``jax.custom_vjp``, all four
+cotangents — with the grid resident only in VMEM, one lane-tile of rows at a
+time. Nothing grid-shaped ever touches HBM; per step the kernel reads the
+embeddings + cotangent once and writes the outputs once.
+
+Layout: every row-indexed operand is processed TRANSPOSED, features on
+sublanes and the flattened row dimension on lanes — the feature axes here
+(O*K=240, D*K=210, O*D*F=280) are far below the 128-lane width, so putting
+them on lanes would waste ~4x VPU throughput; rows are the only axis long
+enough to fill lanes. The host-side transposes surrounding the kernel are
+plain HBM-bandwidth copies that XLA fuses with the adjacent (un)flattens.
+
+The jnp fallback (`_tail_jnp`) is the exact reference formulation and is used
+on non-TPU backends (tests force CPU; Pallas-vs-jnp equivalence is pinned by
+tests/test_pallas_grid.py in interpret mode). NOTE: like ops.pallas_raster,
+the pallas_call is not SPMD-partitionable — model code routes through it only
+off-mesh or on single-chip meshes; sharded CPU-mesh runs take the jnp path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 128
+_SLOPE = 0.01
+
+# Trace-time gate. Two reasons it can be off: (a) like every pallas_call,
+# the kernel is an opaque custom call the SPMD partitioner cannot split, so
+# a >1-device mesh must trace the jnp path (mst_tpu.parallel.create_mesh
+# flips the gate; CPU meshes already dispatch to jnp below); (b) the default
+# stays False until the Mosaic compile + run is validated on the target chip
+# generation — semantics are identical either way, this only selects the
+# lowering.
+_ENABLED = False
+
+
+def set_enabled(enabled: bool) -> None:
+    """Trace-time gate: route fused_grid_tail to the jnp path when False."""
+    global _ENABLED
+    _ENABLED = bool(enabled)
+
+
+def _leaky(x):
+    return jnp.where(x >= 0, x, _SLOPE * x)
+
+
+def _dleaky_mul(x, ct):
+    """d(leaky)(x) * ct without materializing the derivative mask."""
+    return jnp.where(x >= 0, ct, _SLOPE * ct)
+
+
+def _scale_cols(scale, O, D):
+    """(O*D*F, 1) per-row output scale and its reciprocal, as host arrays —
+    Pallas kernels cannot capture array constants, so these ride as inputs."""
+    col = np.tile(np.asarray(scale, np.float32), O * D).reshape(-1, 1)
+    return jnp.asarray(col), jnp.asarray(1.0 / col)
+
+
+def _fwd_kernel(xoT_ref, xdT_ref, restT_ref, w_ref, sc_ref, outT_ref,
+                *, O, D, K, F):
+    tn = xoT_ref.shape[-1]
+    a_o = _leaky(xoT_ref[:].reshape(O, K, tn))
+    a_d = _leaky(xdT_ref[:].reshape(D, K, tn))
+    g = _leaky(a_o[:, None] + a_d[None])              # (O, D, K, tn) in VMEM
+    w = w_ref[:]                                      # (K, F)
+    parts = [(g * w[:, f:f + 1].reshape(1, 1, K, 1)).sum(axis=2)
+             for f in range(F)]                       # F x (O, D, tn)
+    y = jnp.stack(parts, axis=2).reshape(O * D * F, tn)
+    outT_ref[:] = jax.nn.sigmoid(y + restT_ref[:]) * sc_ref[:]
+
+
+def _bwd_kernel(xoT_ref, xdT_ref, outT_ref, ctT_ref, w_ref, sc_ref,
+                inv_sc_ref, ct_xoT_ref, ct_xdT_ref, ct_yT_ref, ct_w_ref,
+                *, O, D, K, F):
+    tn = xoT_ref.shape[-1]
+    s = outT_ref[:] * inv_sc_ref[:]
+    ct_y = ctT_ref[:] * (sc_ref[:] * s * (1.0 - s))   # d sigmoid
+    ct_yT_ref[:] = ct_y                               # == d rest (pre C-sum)
+    ct_y4 = ct_y.reshape(O, D, F, tn)
+
+    xo = xoT_ref[:]
+    xd = xdT_ref[:]
+    a_o = _leaky(xo.reshape(O, K, tn))
+    a_d = _leaky(xd.reshape(D, K, tn))
+    gp = a_o[:, None] + a_d[None]                     # (O, D, K, tn)
+    w = w_ref[:]
+
+    ct_G = ct_y4[:, :, 0, :][:, :, None, :] * w[:, 0:1].reshape(1, 1, K, 1)
+    for f in range(1, F):
+        ct_G = ct_G + (ct_y4[:, :, f, :][:, :, None, :]
+                       * w[:, f:f + 1].reshape(1, 1, K, 1))
+    ct_gp = _dleaky_mul(gp, ct_G)
+    ct_xoT_ref[:] = _dleaky_mul(xo, ct_gp.sum(axis=1).reshape(O * K, tn))
+    ct_xdT_ref[:] = _dleaky_mul(xd, ct_gp.sum(axis=0).reshape(D * K, tn))
+
+    g = _leaky(gp)
+    cols = [(g * ct_y4[:, :, f, :][:, :, None, :]).sum(axis=(0, 1))
+            .sum(axis=1, keepdims=True) for f in range(F)]   # F x (K, 1)
+    ct_w_ref[0] = jnp.concatenate(cols, axis=1)              # (K, F)
+
+
+def _col_spec(rows):
+    return pl.BlockSpec((rows, TILE_N), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(dimension_semantics=("parallel",))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tail_t(static, xoT, xdT, restT, w):
+    out, _ = _tail_t_fwd(static, xoT, xdT, restT, w)
+    return out
+
+
+def _small_spec(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _tail_t_fwd(static, xoT, xdT, restT, w):
+    O, D, K, F, scale, interpret = static
+    n_pad = xoT.shape[-1]
+    sc, _ = _scale_cols(scale, O, D)
+    outT = pl.pallas_call(
+        functools.partial(_fwd_kernel, O=O, D=D, K=K, F=F),
+        grid=(n_pad // TILE_N,),
+        in_specs=[_col_spec(O * K), _col_spec(D * K), _col_spec(O * D * F),
+                  _small_spec((K, F)), _small_spec((O * D * F, 1))],
+        out_specs=_col_spec(O * D * F),
+        out_shape=jax.ShapeDtypeStruct((O * D * F, n_pad), jnp.float32),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(xoT, xdT, restT, w, sc)
+    return outT, (xoT, xdT, outT, w)
+
+
+def _tail_t_bwd(static, res, ctT):
+    O, D, K, F, scale, interpret = static
+    xoT, xdT, outT, w = res
+    n_pad = xoT.shape[-1]
+    n_tiles = n_pad // TILE_N
+    sc, inv_sc = _scale_cols(scale, O, D)
+    ct_xoT, ct_xdT, ct_yT, ct_w_parts = pl.pallas_call(
+        functools.partial(_bwd_kernel, O=O, D=D, K=K, F=F),
+        grid=(n_tiles,),
+        in_specs=[_col_spec(O * K), _col_spec(D * K), _col_spec(O * D * F),
+                  _col_spec(O * D * F), _small_spec((K, F)),
+                  _small_spec((O * D * F, 1)), _small_spec((O * D * F, 1))],
+        out_specs=[_col_spec(O * K), _col_spec(D * K), _col_spec(O * D * F),
+                   pl.BlockSpec((1, K, F), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((O * K, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((D * K, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((O * D * F, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, K, F), jnp.float32),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(xoT, xdT, outT, ctT, w, sc, inv_sc)
+    return ct_xoT, ct_xdT, ct_yT, ct_w_parts.sum(axis=0)
+
+
+_tail_t.defvjp(_tail_t_fwd, _tail_t_bwd)
+
+
+def _tail_jnp(xo, xd, w, rest, scale):
+    """Reference formulation (models/layers.grid_times_w semantics), used on
+    non-TPU backends and as the equivalence oracle for the kernel."""
+
+    @jax.checkpoint
+    def tail(xo, xd, w, rest):
+        x1 = _leaky(xo)[..., :, None, :, None]        # (…, O, 1, k, 1)
+        x2 = _leaky(xd)[..., None, :, :, None]        # (…, 1, D, k, 1)
+        grid = _leaky(x1 + x2)                        # (…, O, D, k, 1)
+        y = (grid * w).sum(axis=-2)                   # (…, O, D, F)
+        y = y.reshape(y.shape[:-3] + (-1, y.shape[-1]))
+        sc = jnp.asarray(scale, y.dtype)
+        return jax.nn.sigmoid(y + rest) * sc
+
+    return tail(xo, xd, w, rest)
+
+
+def fused_grid_tail(xo, xd, w, rest, scale, interpret=None):
+    """``sigmoid(grid_contraction(xo, xd) @ w + rest) * scale`` without the
+    (…, O, D, k) note grid ever reaching HBM — forward AND backward.
+
+    ``xo``: (*L, O, K) pre-activation octave embeddings, ``xd``: (*L, D, K)
+    scale-degree embeddings, ``w``: (K, F), ``rest``: broadcastable to
+    (*L, O*D, F) (the melody contribution + bias; its broadcast axes get the
+    usual sum-reduction under grad), ``scale``: static tuple of F per-feature
+    output scales. Returns (*L, O*D, F) float32.
+
+    On TPU backends this runs the Pallas kernel above with a custom VJP; on
+    CPU (tests, CPU meshes) it runs the exact jnp formulation. Values agree
+    to float32 reassociation tolerance (tests/test_pallas_grid.py).
+    """
+    *lead, O, K = xo.shape
+    D = xd.shape[-2]
+    F = w.shape[-1]
+    if interpret is None:
+        # the real chip registers as "axon" (tunneled PJRT plugin) or "tpu";
+        # anything else (the CPU test/mesh backend) takes the jnp path
+        if jax.default_backend() == "cpu" or not _ENABLED:
+            return _tail_jnp(xo, xd, w, rest, scale)
+        interpret = False
+
+    n = math.prod(lead)
+    n_pad = -(-max(n, 1) // TILE_N) * TILE_N
+    pad = [(0, 0), (0, n_pad - n)]
+
+    def to_cols(x, width):
+        return jnp.pad(x.reshape(n, width).T, pad)
+
+    rest_full = jnp.broadcast_to(rest, tuple(lead) + (O * D, F))
+    static = (O, D, K, F, tuple(float(v) for v in scale), bool(interpret))
+    outT = _tail_t(static, to_cols(xo, O * K), to_cols(xd, D * K),
+                   to_cols(rest_full, O * D * F), w)
+    return outT[:, :n].T.reshape(tuple(lead) + (O * D, F))

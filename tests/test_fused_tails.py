@@ -2,24 +2,30 @@
 
 The reference builds the 56-note axis by materializing the (…, oct, deg, k)
 broadcast grid and feeding it (concatenated with the melody part) to a Linear
-(style/model.py:582-675). The fused tail computes the same math as a
-multiply-reduce that never materializes the grid; these tests pin value- and
-gradient-equality against the naive formulation.
+(style/model.py:582-675). ``ops.pallas_grid.fused_grid_tail`` computes the
+same math without the grid ever reaching HBM — on TPU as a Pallas kernel with
+a custom VJP, off-TPU as a checkpointed jnp multiply-reduce. These tests pin
+value- and gradient-equality of BOTH paths against the naive formulation
+(the Pallas path runs in interpret mode on the CPU test backend).
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from mst_tpu.models.appliers import _fused_pitched_tail
 from mst_tpu.models.layers import leaky_relu
+from mst_tpu.ops.pallas_grid import fused_grid_tail
 from mst_tpu.ops.shapes import squash_dims
 
+SCALE = (6.0, 1.0, 1.0, 1.0, 1.0)
 
-def _naive_pitched(xo, xd, w, rest, scale):
+
+def _naive_pitched(xo, xd, w, rest):
     x1 = leaky_relu(xo)[..., :, None, :]
     x2 = leaky_relu(xd)[..., None, :, :]
     big = squash_dims(leaky_relu(x1 + x2), 5, 7)   # (…, O*D, k)
+    scale = jnp.asarray(SCALE, jnp.float32)
     return jax.nn.sigmoid(big @ w + rest) * scale
 
 
@@ -27,32 +33,56 @@ def _rand(rng, *shape):
     return jnp.asarray(rng.normal(size=shape).astype(np.float32))
 
 
-def test_fused_pitched_tail_matches_naive():
+def _assert_close(a, b):
+    """Float32-reassociation tolerance, absolute floor scaled to b's
+    magnitude (gradients here reach O(1e3); per-element rtol alone would
+    demand sub-ulp agreement on near-zero entries)."""
+    a, b = np.asarray(a), np.asarray(b)
+    np.testing.assert_allclose(a, b, rtol=1e-5,
+                               atol=1e-5 + 2e-6 * np.abs(b).max())
+
+
+def _inputs(rng, B, C, R, T, F10, O=8, D=7, K=30, P=5):
+    return (_rand(rng, B, C, R, T, F10, O, K),
+            _rand(rng, B, C, R, T, F10, D, K),
+            _rand(rng, K, P),
+            _rand(rng, B, 1, R, T, F10, O * D, P))
+
+
+# interpret=None -> backend-dispatched (jnp on the CPU test backend);
+# interpret=True -> the Pallas kernel + custom VJP, interpreted
+@pytest.mark.parametrize("interpret", [None, True])
+def test_fused_tail_matches_naive(interpret):
     rng = np.random.default_rng(0)
-    B, C, R, T, F10, O, D, K, P = 2, 3, 4, 2, 5, 8, 7, 30, 5
-    xo = _rand(rng, B, C, R, T, F10, O, K)
-    xd = _rand(rng, B, C, R, T, F10, D, K)
-    w = _rand(rng, K, P)
-    rest = _rand(rng, B, 1, R, T, F10, O * D, P)
-    scale = jnp.asarray([6.0, 1.0, 1.0, 1.0, 1.0], jnp.float32)
-    got = _fused_pitched_tail(xo, xd, w, rest, scale)
-    want = _naive_pitched(xo, xd, w, rest, scale)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-6, atol=1e-6)
+    args = _inputs(rng, B=2, C=3, R=4, T=2, F10=5)
+    got = fused_grid_tail(*args, SCALE, interpret=interpret)
+    want = _naive_pitched(*args)
+    _assert_close(got, want)
 
 
-def test_fused_pitched_tail_grad_matches_naive():
+@pytest.mark.parametrize("interpret", [None, True])
+def test_fused_tail_grad_matches_naive(interpret):
     rng = np.random.default_rng(1)
-    B, C, R, T, F10, O, D, K, P = 1, 2, 3, 2, 2, 8, 7, 30, 5
-    xo = _rand(rng, B, C, R, T, F10, O, K)
-    xd = _rand(rng, B, C, R, T, F10, D, K)
-    w = _rand(rng, K, P)
-    rest = _rand(rng, B, 1, R, T, F10, O * D, P)
-    scale = jnp.asarray([6.0, 1.0, 1.0, 1.0, 1.0], jnp.float32)
-    g1 = jax.grad(lambda a: _fused_pitched_tail(*a, scale).sum())(
-        (xo, xd, w, rest))
-    g2 = jax.grad(lambda a: _naive_pitched(*a, scale).sum())(
-        (xo, xd, w, rest))
+    args = _inputs(rng, B=1, C=2, R=3, T=2, F10=2)
+    g1 = jax.grad(
+        lambda a: (fused_grid_tail(*a, SCALE, interpret=interpret) ** 2)
+        .sum())(args)
+    g2 = jax.grad(lambda a: (_naive_pitched(*a) ** 2).sum())(args)
     for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-5)
+        _assert_close(a, b)
+
+
+def test_fused_tail_pallas_row_padding():
+    """Row counts not divisible by the 128-lane tile pad correctly: the pad
+    columns must never leak into outputs or cotangents."""
+    rng = np.random.default_rng(2)
+    args = _inputs(rng, B=1, C=3, R=7, T=3, F10=1)   # 63 rows
+    got = fused_grid_tail(*args, SCALE, interpret=True)
+    want = _naive_pitched(*args)
+    _assert_close(got, want)
+    g1 = jax.grad(
+        lambda a: (fused_grid_tail(*a, SCALE, interpret=True) ** 2).sum())(
+        args)
+    g2 = jax.grad(lambda a: (_naive_pitched(*a) ** 2).sum())(args)
+    for a, b in zip(g1, g2):
+        _assert_close(a, b)
