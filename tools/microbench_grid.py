@@ -73,7 +73,67 @@ def bench(name, fn, args, grad=False):
     print(f"{name:16s} {'bwd' if grad else 'fwd'}: {dt:8.2f} ms")
 
 
+def bench_full_tail():
+    """Compare the complete applier tail (grid + contraction + rest + sigmoid
+    scale): the checkpointed jnp formulation vs the Pallas kernel + custom
+    VJP (ops/pallas_grid.py), values cross-checked. This is the validation +
+    measurement gate for flipping pallas_grid's default on a new chip
+    generation."""
+    from mst_tpu.ops.pallas_grid import _tail_jnp, fused_grid_tail
+
+    rng = np.random.default_rng(0)
+    scale = (6.0, 1.0, 1.0, 1.0, 1.0)
+    xo = jnp.asarray(rng.normal(size=(B, C, R, T, F10, O, K)).astype(np.float32))
+    xd = jnp.asarray(rng.normal(size=(B, C, R, T, F10, D, K)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(K, P)).astype(np.float32))
+    rest = jnp.asarray(
+        rng.normal(size=(B, 1, R, T, F10, O * D, P)).astype(np.float32))
+
+    interpret = jax.default_backend() == "cpu"   # smoke-testable off-chip
+    outs = {}
+    for name, fn in (("tail_jnp", _tail_jnp),
+                     ("tail_pallas",
+                      lambda *a: fused_grid_tail(*a, interpret=interpret))):
+        f = jax.jit(lambda *a, fn=fn: fn(*a, scale))
+        g = jax.jit(jax.value_and_grad(
+            lambda a, fn=fn: (fn(*a, scale) ** 2).sum()))
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(f(xo, xd, w, rest))
+        print(f"{name}: fwd compiled+ran in {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        _, gr = g((xo, xd, w, rest))
+        jax.block_until_ready(gr)
+        print(f"{name}: grad compiled+ran in {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        outs[name] = (np.asarray(out), [np.asarray(a) for a in gr])
+        n = 30
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = f(xo, xd, w, rest)
+        jax.block_until_ready(out)
+        t_f = (time.perf_counter() - t0) / n
+        t0 = time.perf_counter()
+        for _ in range(n):
+            _, gr = g((xo, xd, w, rest))
+        jax.block_until_ready(gr)
+        t_g = (time.perf_counter() - t0) / n
+        print(f"{name}: fwd {t_f * 1e3:.2f} ms, fwd+bwd {t_g * 1e3:.2f} ms",
+              flush=True)
+
+    print("fwd max diff:",
+          np.abs(outs["tail_jnp"][0] - outs["tail_pallas"][0]).max())
+    for i, nm in enumerate(("xo", "xd", "w", "rest")):
+        d = np.abs(outs["tail_jnp"][1][i] - outs["tail_pallas"][1][i]).max()
+        m = np.abs(outs["tail_jnp"][1][i]).max()
+        print(f"grad {nm}: max abs diff {d:.3e} (scale {m:.3e})")
+
+
 def main():
+    import sys
+    if "--tail" in sys.argv:
+        bench_full_tail()
+        return
     rng = np.random.default_rng(0)
     xo = jnp.asarray(rng.normal(size=(B, C, R, T, F10, O, K)).astype(np.float32))
     xd = jnp.asarray(rng.normal(size=(B, C, R, T, F10, D, K)).astype(np.float32))
