@@ -203,6 +203,49 @@ def _compact_song_dense(dur, vel, acc, n_channels, n_bars, capacity):
     return count.astype(jnp.uint32), jnp.zeros((), jnp.uint32), rec
 
 
+def _raster_extract_latents(model, params, p_notes, u_notes, mode, bpm, instf,
+                            lengths, cmask, umask, *, B, Cb, Rb, T,
+                            has_unpitched):
+    """On-device rasterization of both note families + the latent extractor
+    for a batch of B songs — the traced body of ModelBundle.fn("raster_extract")
+    and the extraction stage of the fully-fused transfer program."""
+    from mst_tpu.ops.device_raster import segment_rasterize
+
+    n_rows_p = B * Cb * Rb * T * 10
+    flat_p = segment_rasterize(*p_notes, n_rows_p, 56, 5)
+    pitched = flat_p.reshape(B, Cb, Rb, T, 10, 56, 5)
+    unpitched = None
+    if has_unpitched:
+        n_rows_u = B * Rb * T * 10
+        flat_u = segment_rasterize(*u_notes, n_rows_u, 47, 2)
+        unpitched = flat_u.reshape(B, 1, Rb, T, 10, 47, 2)
+    return model.apply(
+        params, mode, bpm, pitched, instf, unpitched,
+        bar_lengths=lengths, channel_mask=cmask,
+        uchannel_mask=umask if has_unpitched else None,
+        method=StyleTransferModel.extract_style)
+
+
+def _fused_transfer_full(model, feature_table, params, extract_args,
+                         style_idx, comp_idx, n_instruments, bar_lengths,
+                         tpb, *, B, Cb, Rb, T, has_unpitched, capacity,
+                         max_channels, dense_compaction=False):
+    """The WHOLE transfer device side as ONE program: on-device rasterization
+    + latent extraction of the B ingested songs, then the batched style
+    application of every job (_fused_transfer_apply) on the just-computed
+    latents. A transfer request whose songs share one extraction bucket pays
+    exactly one jit dispatch + one fetch total — on a remote-attached chip
+    the per-dispatch transport round-trip dominates single-request latency,
+    and real serving deployments see the same effect at smaller scale."""
+    style, melody, rhythm = _raster_extract_latents(
+        model, params, *extract_args, B=B, Cb=Cb, Rb=Rb, T=T,
+        has_unpitched=has_unpitched)
+    return _fused_transfer_apply(
+        model, feature_table, params, style, melody, rhythm, style_idx,
+        comp_idx, n_instruments, bar_lengths, tpb, capacity=capacity,
+        max_channels=max_channels, dense_compaction=dense_compaction)
+
+
 def _fused_transfer_apply(model, feature_table, params, style, melody, rhythm,
                           style_idx, comp_idx, n_instruments, bar_lengths,
                           tpb, *, capacity, max_channels,
@@ -301,6 +344,10 @@ class ModelBundle:
     params: dict
     mesh: Optional[object] = None  # jax.sharding.Mesh
     capacity_hint: int = 0  # sticky: smallest compaction tier known to fit
+    # fuse extraction+apply into ONE device program when a request's songs
+    # share an extraction bucket (transfer_styles); False forces the
+    # two-dispatch pipeline (also the output-equivalence test's toggle)
+    fuse_requests: bool = True
     # set to a list to record every device dispatch as (key, args, kwargs) —
     # bench.py replays the log through runtime.flops to account the transfer
     # path's matmul FLOPs (zero overhead when None)
@@ -355,28 +402,23 @@ class ModelBundle:
             elif key.startswith("raster_extract"):
                 # one dispatch: on-device rasterization of both note families
                 # + the latent extractor, for a whole batch of B songs
-                from mst_tpu.ops.device_raster import segment_rasterize
-
-                def raster_extract(params, p_notes, u_notes, mode, bpm, instf,
-                                   lengths, cmask, umask, *, B, Cb, Rb, T,
-                                   has_unpitched):
-                    n_rows_p = B * Cb * Rb * T * 10
-                    flat_p = segment_rasterize(*p_notes, n_rows_p, 56, 5)
-                    pitched = flat_p.reshape(B, Cb, Rb, T, 10, 56, 5)
-                    unpitched = None
-                    if has_unpitched:
-                        n_rows_u = B * Rb * T * 10
-                        flat_u = segment_rasterize(*u_notes, n_rows_u, 47, 2)
-                        unpitched = flat_u.reshape(B, 1, Rb, T, 10, 47, 2)
-                    return self.model.apply(
-                        params, mode, bpm, pitched, instf, unpitched,
-                        bar_lengths=lengths, channel_mask=cmask,
-                        uchannel_mask=umask if has_unpitched else None,
-                        method=StyleTransferModel.extract_style)
-
-                self._raw[key] = raster_extract
+                raw = functools.partial(_raster_extract_latents, self.model)
+                self._raw[key] = raw
                 self._jitted[key] = jax.jit(
-                    self._wrap_precision(raster_extract),
+                    self._wrap_precision(raw),
+                    static_argnames=("B", "Cb", "Rb", "T", "has_unpitched"))
+            elif key.startswith("transfer_fused"):
+                # the whole request in ONE program: extraction AND apply
+                _, cap, cba, *rest = key.split(":")
+                from mst_tpu.data.taxonomy import category_feature_table
+                table = jnp.asarray(category_feature_table())
+                raw = functools.partial(
+                    _fused_transfer_full, self.model, table,
+                    capacity=int(cap), max_channels=int(cba),
+                    dense_compaction="dense" in rest)
+                self._raw[key] = raw
+                self._jitted[key] = jax.jit(
+                    self._wrap_precision(raw),
                     static_argnames=("B", "Cb", "Rb", "T", "has_unpitched"))
             elif key.startswith("fused"):
                 _, cap, cb, *rest = key.split(":")
@@ -503,10 +545,20 @@ def extract_styles(bundle: ModelBundle, songs: Sequence[Song]):
 def _extract_group(bundle: ModelBundle, songs: Sequence[Song], T: int,
                    has_unpitched: bool) -> LatentBatch:
     """One extraction dispatch for B songs sharing beats-per-bar ``T`` and
-    percussion presence: every song's quantized note records are offset into
-    one flat row space (song b = channel block b*Cb..), so a single on-device
-    scatter materializes the whole (B, Cb, Rb, ...) raster batch feeding the
-    extractor."""
+    percussion presence (see _extract_inputs for the batching scheme)."""
+    args, statics, Rs = _extract_inputs(bundle, songs, T, has_unpitched)
+    style, melody, rhythm = bundle.fn("raster_extract")(
+        bundle.params, *args, **statics)
+    return LatentBatch(style=style, melody=melody, rhythm=rhythm, n_bars=Rs)
+
+
+def _extract_inputs(bundle: ModelBundle, songs: Sequence[Song], T: int,
+                    has_unpitched: bool):
+    """Build the device inputs of the batched raster+extract program: every
+    song's quantized note records are offset into one flat row space (song b =
+    channel block b*Cb..), so a single on-device scatter materializes the
+    whole (B, Cb, Rb, ...) raster batch feeding the extractor. Returns
+    (positional args, static kwargs, per-song real bar counts)."""
     from mst_tpu.ops.device_raster import concat_and_pad, encode_notes
 
     B_real = len(songs)
@@ -558,16 +610,15 @@ def _extract_group(bundle: ModelBundle, songs: Sequence[Song], T: int,
         u_notes = tuple(jnp.zeros((0,)) for _ in range(6))
         umask = None
 
-    # one cached wrapper; jax.jit re-specializes per (static args, shapes)
-    style, melody, rhythm = bundle.fn("raster_extract")(
-        bundle.params, p_notes, u_notes,
-        bundle.shard_rows(jnp.asarray(mode)),
-        bundle.shard_rows(jnp.asarray(bpm)),
-        bundle.shard_rows(jnp.asarray(instf_pad)),
-        bundle.shard_rows(jnp.asarray(lengths)),
-        bundle.shard_rows(jnp.asarray(cmask)),
-        umask, B=B, Cb=Cb, Rb=Rb, T=T, has_unpitched=has_unpitched)
-    return LatentBatch(style=style, melody=melody, rhythm=rhythm, n_bars=Rs)
+    args = (p_notes, u_notes,
+            bundle.shard_rows(jnp.asarray(mode)),
+            bundle.shard_rows(jnp.asarray(bpm)),
+            bundle.shard_rows(jnp.asarray(instf_pad)),
+            bundle.shard_rows(jnp.asarray(lengths)),
+            bundle.shard_rows(jnp.asarray(cmask)),
+            umask)
+    statics = dict(B=B, Cb=Cb, Rb=Rb, T=T, has_unpitched=has_unpitched)
+    return args, statics, Rs
 
 
 def _mode_one_hot(song: Song) -> np.ndarray:
@@ -709,7 +760,7 @@ def _fits(capacity: int, count_p: int, count_u: int, live_p: int,
 
 def run_fused_jobs(bundle: ModelBundle, infos, style_mat, melody_mat,
                    rhythm_mat, style_idx, comp_idx, n_instruments_list,
-                   n_bars_list, Cb: int, host_work=None):
+                   n_bars_list, Cb: int, host_work=None, dispatch=None):
     """Dispatch the fused apply program for B (style row, composition row)
     jobs, escalating through the compaction capacity ladder (and the dense
     escape hatch) until every job's output fits. Returns the fetched
@@ -718,7 +769,12 @@ def run_fused_jobs(bundle: ModelBundle, infos, style_mat, melody_mat,
     ``host_work``: optional callable run AFTER the device program is
     dispatched but BEFORE its result is fetched — host-side work (e.g.
     decoding the original .mid files) overlaps the device compute instead of
-    serializing with it."""
+    serializing with it.
+
+    ``dispatch``: optional ``(job_rows, capacity, dense) -> device buffer``
+    override — the fully-fused single-dispatch path substitutes the program
+    that also computes the latents; the ladder/hint/escape-hatch logic here
+    is the single source of truth for BOTH paths."""
     B = len(infos)
 
     def rows(values, dtype):
@@ -734,15 +790,19 @@ def run_fused_jobs(bundle: ModelBundle, infos, style_mat, melody_mat,
     bars = rows(list(n_bars_list), np.int32)
     style_idx = rows(list(style_idx), np.int32)
     comp_idx = rows(list(comp_idx), np.int32)
+    job_rows = (style_idx, comp_idx, n_inst, bars, tpb)
+    if dispatch is None:
+        def dispatch(job_rows, capacity, dense):
+            suffix = ":dense" if dense else ""
+            return bundle.fn(f"fused:{capacity}:{Cb}{suffix}")(
+                bundle.params, style_mat, melody_mat, rhythm_mat, *job_rows)
     # start at the sticky hint: once a batch needed a bigger tier, later
     # batches skip the doomed small-tier dispatch (escalation re-runs the
     # whole program, so a wrong guess costs a full round trip)
     ladder = [c for c in COMPACT_CAPACITIES if c >= bundle.capacity_hint] \
         or [COMPACT_CAPACITIES[-1]]
     for capacity in ladder:
-        buf_dev = bundle.fn(f"fused:{capacity}:{Cb}")(
-            bundle.params, style_mat, melody_mat, rhythm_mat,
-            style_idx, comp_idx, n_inst, bars, tpb)
+        buf_dev = dispatch(job_rows, capacity, False)
         if host_work is not None:
             host_work()          # overlaps the async device dispatch above
             host_work = None
@@ -766,9 +826,7 @@ def run_fused_jobs(bundle: ModelBundle, infos, style_mat, melody_mat,
         # records fit but the live-BLOCK routing table overflowed (a
         # pathologically spread roll: ~1 note per 128-cell block); run
         # the density-independent dense-compaction escape hatch once
-        buf = np.asarray(bundle.fn(f"fused:{capacity}:{Cb}:dense")(
-            bundle.params, style_mat, melody_mat, rhythm_mat,
-            style_idx, comp_idx, n_inst, bars, tpb))
+        buf = np.asarray(dispatch(job_rows, capacity, True))
         # an overflowed routing table TRUNCATES the block ladder's reported
         # counts (the live-block prefix under-reports), so the pre-dense
         # check above is optimistic; the dense compaction's header carries
@@ -797,6 +855,31 @@ def _apply_batch(bundle: ModelBundle, infos, style_mat, melody_mat,
         n_instruments_list, n_bars_list, Cb, host_work=host_work)
     for b in range(len(infos)):
         _decode_packed_buffer(infos[b], buf[b], capacity, Cb, Rb, T,
+                              save_paths[b])
+
+
+def _apply_batch_fused(bundle: ModelBundle, infos, ext_args, ext_statics,
+                       style_idx, comp_idx, n_instruments_list, save_paths,
+                       n_bars_list, host_work=None) -> None:
+    """Single-dispatch variant of _apply_batch: the device program computes
+    the latents (raster + extract) AND the batched apply in one jit call
+    (_fused_transfer_full). Shares run_fused_jobs' escalation ladder via the
+    dispatch override, so capacity hints and the dense escape hatch behave
+    identically to the two-dispatch path."""
+    Rb, T = ext_statics["Rb"], ext_statics["T"]
+    CbA = _bucket(max(max(n_instruments_list), 1), CHANNEL_BUCKETS)
+
+    def dispatch(job_rows, capacity, dense):
+        suffix = ":dense" if dense else ""
+        return bundle.fn(f"transfer_fused:{capacity}:{CbA}{suffix}")(
+            bundle.params, ext_args, *job_rows, **ext_statics)
+
+    buf, capacity = run_fused_jobs(
+        bundle, infos, None, None, None, style_idx, comp_idx,
+        n_instruments_list, n_bars_list, CbA, host_work=host_work,
+        dispatch=dispatch)
+    for b in range(len(infos)):
+        _decode_packed_buffer(infos[b], buf[b], capacity, CbA, Rb, T,
                               save_paths[b])
 
 
@@ -935,17 +1018,41 @@ def transfer_styles(bundle: ModelBundle, composition_paths, style_paths,
     songs = [s for _, s in loaded]
     comps = songs[:len(composition_paths)]
     style_songs = songs[len(composition_paths):]
-    batches, locators = extract_styles(bundle, comps + style_songs)
-    comp_loc = locators[:len(comps)]
-    style_loc = locators[len(comps):]
+    group_keys = {(s.info.n_beats, s.unpitched is not None) for s in songs}
+    # when every song shares one extraction bucket, the WHOLE request runs as
+    # a single device program (extraction + apply, _fused_transfer_full): one
+    # dispatch + one fetch total instead of one extraction dispatch plus the
+    # apply dispatch — the dominant cost of small/single-song requests is the
+    # per-dispatch round trip, not compute
+    fuse = bundle.fuse_requests and len(group_keys) == 1
+    if fuse:
+        T, has_unpitched = next(iter(group_keys))
+        ext_args, ext_statics, Rs = _extract_inputs(
+            bundle, songs, T, has_unpitched)
+        batches = None
+        comp_loc = [(0, i) for i in range(len(comps))]
+        style_loc = [(0, len(comps) + j) for j in range(len(style_songs))]
 
-    # global style-vector matrix: batch g's rows start at style_offset[g]
-    style_offset = np.cumsum([0] + [b.style.shape[0] for b in batches])
-    style_mat = (batches[0].style if len(batches) == 1 else
-                 jnp.concatenate([b.style for b in batches], axis=0))
+        def style_row(loc):
+            return loc[1]
 
-    def style_row(loc):
-        return int(style_offset[loc[0]]) + loc[1]
+        def bars_of(g, row):
+            return Rs[row]
+    else:
+        batches, locators = extract_styles(bundle, comps + style_songs)
+        comp_loc = locators[:len(comps)]
+        style_loc = locators[len(comps):]
+
+        # global style-vector matrix: batch g's rows start at style_offset[g]
+        style_offset = np.cumsum([0] + [b.style.shape[0] for b in batches])
+        style_mat = (batches[0].style if len(batches) == 1 else
+                     jnp.concatenate([b.style for b in batches], axis=0))
+
+        def style_row(loc):
+            return int(style_offset[loc[0]]) + loc[1]
+
+        def bars_of(g, row):
+            return batches[g].n_bars[row]
 
     written_per_comp = [[] for _ in comps]
     names = [os.path.splitext(os.path.basename(str(p)))[0]
@@ -989,7 +1096,7 @@ def transfer_styles(bundle: ModelBundle, composition_paths, style_paths,
         reconstructed = os.path.join(out_dir,
                                      f"{names[i]} (reconstructed).mid")
         jobs.append((style_row(comp_loc[i]), row, comp.info,
-                     len(comp.instruments), batches[g].n_bars[row],
+                     len(comp.instruments), bars_of(g, row),
                      reconstructed))
         written_per_comp[i].append(reconstructed)
         for j, style_song in enumerate(style_songs):
@@ -999,7 +1106,7 @@ def transfer_styles(bundle: ModelBundle, composition_paths, style_paths,
                 out_dir, f"{names[i]} ({style_names[j]} style).mid")
             jobs.append((style_row(style_loc[j]), row, info,
                          len(style_song.instruments),
-                         batches[g].n_bars[row], path))
+                         bars_of(g, row), path))
             written_per_comp[i].append(
                 os.path.join(out_dir, f"original/{style_names[j]}.mid"))
             written_per_comp[i].append(path)
@@ -1007,10 +1114,15 @@ def transfer_styles(bundle: ModelBundle, composition_paths, style_paths,
     host_work = decode_originals
     for g, jobs in jobs_per_group.items():
         s_idx, c_idx, infos, n_inst, bars, paths = zip(*jobs)
-        _apply_batch(bundle, list(infos), style_mat, batches[g].melody,
-                     batches[g].rhythm, list(s_idx), list(c_idx),
-                     list(n_inst), list(paths), list(bars),
-                     host_work=host_work)
+        if fuse:
+            _apply_batch_fused(bundle, list(infos), ext_args, ext_statics,
+                               list(s_idx), list(c_idx), list(n_inst),
+                               list(paths), list(bars), host_work=host_work)
+        else:
+            _apply_batch(bundle, list(infos), style_mat, batches[g].melody,
+                         batches[g].rhythm, list(s_idx), list(c_idx),
+                         list(n_inst), list(paths), list(bars),
+                         host_work=host_work)
         host_work = None
     if host_work is not None:  # no apply jobs at all
         host_work()

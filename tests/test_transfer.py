@@ -396,3 +396,30 @@ def test_transfer_styles_mesh_sharded_matches_unsharded(bundle, example_midis,
                                vel_bytes.astype(int).tolist()))
             n_diff = len(msg_set(ma) ^ msg_set(mb))
             assert n_diff <= max(8, len(ma) // 1000), (a, n_diff)
+
+
+def test_fused_request_matches_two_dispatch_path(bundle, example_midis,
+                                                 tmp_path):
+    """When a request's songs share one extraction bucket, transfer_styles
+    runs extraction AND apply as ONE device program (_fused_transfer_full,
+    one dispatch + one fetch). Outputs must be byte-identical to the
+    two-dispatch pipeline."""
+    from mst_tpu.transfer import ModelBundle
+    comp = _example("Sweet Dreams.mid", example_midis)
+    style = _example("Angie.4.mid", example_midis)
+    assert bundle.fuse_requests  # default-on: the suite exercises the path
+    written_fused = transfer_style(bundle, comp, [style],
+                                   tmp_path / "fused")
+    unfused = ModelBundle(model=bundle.model, params=bundle.params,
+                          fuse_requests=False)
+    written_plain = transfer_style(unfused, comp, [style],
+                                   tmp_path / "plain")
+    assert any(k.startswith("transfer_fused") for k in bundle._jitted)
+    assert not any(k.startswith("transfer_fused") for k in unfused._jitted)
+    assert len(written_fused) == len(written_plain) == 4
+    for pf, pp in zip(written_fused, written_plain):
+        with open(pf, "rb") as fh:
+            fused_bytes = fh.read()
+        with open(pp, "rb") as fh:
+            plain_bytes = fh.read()
+        assert fused_bytes == plain_bytes, os.path.basename(pf)
