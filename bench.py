@@ -57,6 +57,25 @@ TARGET_SONGS_PER_SEC = 1.0        # north star: <1 s per full song
 TARGET_TRAIN_STEPS_PER_SEC = 8.33  # 5000-iteration campaign in <10 min
 
 
+def train_config():
+    """The benched training configuration: storage_dtype="bfloat16".
+
+    The committed v5e profile shows the device step HBM-bound on fp32
+    activation traffic; bf16 activation storage halves those bytes and was
+    measured 1.16x faster at K=16 (87 vs 75 steps/sec) with the loss
+    trajectory tracking fp32 (tests/test_precision.py + the campaign-level
+    A/B in README "Measured behavior"). Params/grads/optimizer state/loss
+    reductions stay float32; the transfer metrics above are untouched
+    (ModelBundle never reads storage_dtype)."""
+    import dataclasses
+
+    from mst_tpu.config import Config
+
+    config = Config()
+    return dataclasses.replace(config, model=dataclasses.replace(
+        config.model, storage_dtype="bfloat16"))
+
+
 def load_bundle():
     import jax
     import jax.numpy as jnp
@@ -163,14 +182,13 @@ def bench_single_song(bundle):
 
 def bench_train_step(bundle):
     import jax
-    from mst_tpu.config import Config
     from mst_tpu.data.pipeline import get_input
     from mst_tpu.io import load_midi_from_file
     from mst_tpu.ops.events import read_midi
     from mst_tpu.runtime.train import (
         create_train_state, device_batch_from_song, make_train_step)
 
-    config = Config()
+    config = train_config()
     channels, info = read_midi(load_midi_from_file(COMPOSITIONS[0]))
     song = get_input(channels, info)
     batch = device_batch_from_song(song, 8, 128,
@@ -206,14 +224,13 @@ def bench_train_scan(bundle, k: int = 8):
     (train-model.py --steps-per-dispatch)."""
     import jax
     import numpy as np
-    from mst_tpu.config import Config
     from mst_tpu.data.pipeline import get_input
     from mst_tpu.io import load_midi_from_file
     from mst_tpu.ops.events import read_midi
     from mst_tpu.runtime.train import (
         create_train_state, device_batch_from_songs, make_multi_train_step)
 
-    config = Config()
+    config = train_config()
     channels, info = read_midi(load_midi_from_file(COMPOSITIONS[0]))
     song = get_input(channels, info)
     cap = min(800 // song.n_channels, 128)
@@ -283,6 +300,7 @@ def main():
         "unit": "fraction_of_peak",
         "flops_per_step": round(flops_per_step),
         "compute_dtype": dtype,
+        "storage_dtype": "bfloat16",
         "vs_baseline": round(mfu(flops_per_step, 1.0 / best, dtype), 6),
         "baseline": "chip-peak",
     }))
@@ -291,6 +309,7 @@ def main():
         "metric": "train_step",
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec/chip",
+        "storage_dtype": "bfloat16",
         "vs_baseline": round(steps_per_sec / TARGET_TRAIN_STEPS_PER_SEC, 4),
         "baseline": "north-star-target",
     }))
@@ -299,6 +318,7 @@ def main():
         "value": round(scan_steps_per_sec, 4),
         "unit": "steps/sec/chip",
         "steps_per_dispatch": scan_k,
+        "storage_dtype": "bfloat16",
         "vs_baseline": round(scan_steps_per_sec / TARGET_TRAIN_STEPS_PER_SEC,
                              4),
         "baseline": "north-star-target",

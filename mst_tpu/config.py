@@ -66,12 +66,20 @@ class ModelConfig:
     max_bpm: float = 200.0
     mean_type: str = "quadratic"
 
-    # numeric policy (TPU): params/activations stay float32; with "bfloat16"
+    # numeric policy (TPU): params stay float32; with "bfloat16",
     # every matmul/conv OPERAND is cast to bf16 with fp32 accumulation
-    # (mst_tpu.ops.precision — ~2x MXU throughput on v5e). Consumed by the
-    # train step (runtime/train.py) and every transfer dispatch
-    # (transfer.ModelBundle).
+    # (mst_tpu.ops.precision — ~2x MXU throughput on v5e; measured neutral
+    # for this HBM-bound family). Consumed by the train step
+    # (runtime/train.py) and every transfer dispatch (transfer.ModelBundle).
     compute_dtype: str = "float32"
+    # with "bfloat16", grid-scale ACTIVATION buffers (post-leaky_relu
+    # tensors, applier outputs, the raster fed to model+losses) materialize
+    # to HBM at half width; params/grads/optimizer state/LSTM carries/loss
+    # reductions stay float32. This attacks the measured bottleneck — the
+    # committed profile shows the train step HBM-bound moving ~10.8 GB of
+    # fp32 activations. Training only; the transfer path keeps float32
+    # (its packed wire formats are proven bit-identical against fp32).
+    storage_dtype: str = "float32"
 
     @property
     def bpm_range(self) -> float:

@@ -70,19 +70,23 @@ class PitchedStyleApplier(nn.Module):
         # the final linear distributes over its [note-grid(30), melody(20)]
         # concat: the melody part contributes at (B,R,T,F10,56,.) and only
         # its 5-feature output broadcasts over C, while the note-grid part
-        # fuses into the grid contraction — on TPU a Pallas kernel with a
-        # custom VJP keeps the (…,8,7,30) grid (and its backward cotangent,
-        # the training step's biggest HBM-traffic source) entirely in VMEM
-        # (ops/pallas_grid.py)
+        # fuses into the checkpointed grid contraction (ops/pallas_grid.py —
+        # XLA's fused lowering of that formulation beat the hand-written
+        # Pallas VMEM kernel 2.7x on the v5e, so the kernel is kept gated
+        # off as the validated fallback)
         kernel, bias = DenseParams(linears_out + mel.shape[-1], p,
                                    name="linear")()
         mel_c = precision.matmul(mel, kernel[linears_out:])[:, None]
 
         # duration = 6*sigmoid, velocity/accidentals = sigmoid
         # (model.py:565-579) — one fused scale instead of slice+concat over
-        # the full output tensor (values identical)
-        return fused_grid_tail(xo, xd, kernel[:linears_out], mel_c + bias,
-                               (MAX_DURATION, 1.0, 1.0, 1.0, 1.0))
+        # the full output tensor (values identical). xo/xd and the output are
+        # the step's largest tensors: store them at the storage dtype.
+        out = fused_grid_tail(precision.cast_storage(xo),
+                              precision.cast_storage(xd),
+                              kernel[:linears_out], mel_c + bias,
+                              (MAX_DURATION, 1.0, 1.0, 1.0, 1.0))
+        return precision.cast_storage(out)
 
 
 class UnpitchedStyleApplier(nn.Module):
@@ -116,5 +120,5 @@ class UnpitchedStyleApplier(nn.Module):
 
         # duration = 6*sigmoid, velocity = sigmoid — fused scale, see above
         scale = jnp.asarray([MAX_DURATION, 1.0], x.dtype)
-        x = jax.nn.sigmoid(x) * scale
+        x = precision.cast_storage(jax.nn.sigmoid(x) * scale)
         return x[:, None]                                # (B,1,R,T,F10,47,2)

@@ -130,8 +130,13 @@ class Conv1d(nn.Module):
 
 
 def leaky_relu(x):
-    """torch F.leaky_relu default slope 0.01 (used everywhere in model.py)."""
-    return jax.nn.leaky_relu(x, negative_slope=0.01)
+    """torch F.leaky_relu default slope 0.01 (used everywhere in model.py).
+
+    Every grid-scale activation in this model passes through here, so this is
+    THE storage-dtype chokepoint: under storage_dtype="bfloat16" the output
+    (and, via dtype-following cotangents, its backward buffer) materializes
+    to HBM at half width. No-op under the fp32 default."""
+    return precision.cast_storage(jax.nn.leaky_relu(x, negative_slope=0.01))
 
 
 # NOTE: the "note generating submodule" grid contraction

@@ -119,6 +119,12 @@ def channels_losses(pred, target, pitched: bool = True,
     (parity: model.py:909-921). ``pad_mask``: (B, C, bar) validity of each
     (channel, bar) — zeroes padded cells out of every reduction, including the
     model's own predictions there."""
+    # reductions always run in float32: under a bfloat16 storage dtype the
+    # prediction/target rasters arrive half-width, and the global velocity-
+    # mass sums (smooth-F1 over ~10^7 cells) need the full mantissa. The
+    # upcasts fuse into the elementwise ops — HBM reads stay half-width.
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     target_velocity = get_velocity(target)
     pred_velocity = get_velocity(pred)
     if pad_mask is not None:

@@ -122,7 +122,11 @@ def _lstm_scan(x, w_ih, w_hh, b, reverse: bool = False,
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    init = (jnp.zeros((n, h_dim), x.dtype), jnp.zeros((n, h_dim), x.dtype))
+    # carries follow the GATE dtype (fp32 even when x arrives at a bf16
+    # storage dtype — the input projection promotes): the serial recurrence
+    # keeps full precision regardless of the activation storage policy
+    init = (jnp.zeros((n, h_dim), gates_x.dtype),
+            jnp.zeros((n, h_dim), gates_x.dtype))
     _, outputs = jax.lax.scan(step, init, gates_x)
     if reverse:
         outputs = outputs[::-1]
@@ -191,8 +195,9 @@ def _bilstm_merged_scan(x_fwd, x_bwd, params_fwd, params_bwd):
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
-    init = (jnp.zeros((2, n, h_dim), x_fwd.dtype),
-            jnp.zeros((2, n, h_dim), x_fwd.dtype))
+    # fp32 carries under any storage dtype (see _lstm_scan)
+    init = (jnp.zeros((2, n, h_dim), gates.dtype),
+            jnp.zeros((2, n, h_dim), gates.dtype))
     _, ys = jax.lax.scan(step, init, gates)           # (T, 2, N, H)
     fwd = jnp.swapaxes(ys[:, 0], 0, 1)                # (N, T, H)
     bwd = jnp.swapaxes(ys[:, 1], 0, 1)

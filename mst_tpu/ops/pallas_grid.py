@@ -48,13 +48,17 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_N = 128
 _SLOPE = 0.01
 
-# Trace-time gate. Two reasons it can be off: (a) like every pallas_call,
-# the kernel is an opaque custom call the SPMD partitioner cannot split, so
-# a >1-device mesh must trace the jnp path (mst_tpu.parallel.create_mesh
-# flips the gate; CPU meshes already dispatch to jnp below); (b) the default
-# stays False until the Mosaic compile + run is validated on the target chip
-# generation — semantics are identical either way, this only selects the
-# lowering.
+# Trace-time gate. Two reasons it is off: (a) like every pallas_call, the
+# kernel is an opaque custom call the SPMD partitioner cannot split, so a
+# >1-device mesh must trace the jnp path (mst_tpu.parallel.create_mesh flips
+# the gate; CPU meshes already dispatch to jnp below); (b) MEASURED on the
+# v5e (tools/microbench_grid.py --tail, bench bucket): the Mosaic lowering
+# compiles and matches the jnp path to fp32 tolerance but runs 2.7x SLOWER
+# (fwd 9.93 vs 2.24 ms, fwd+bwd 16.25 vs 6.00 ms) — the per-feature VPU
+# loops here lose to XLA's fused lowering of the checkpointed formulation,
+# unlike ops.pallas_raster where the scatter has no good XLA form. The
+# kernel stays as the validated fallback recipe for chips/shapes where the
+# balance flips; semantics are identical either way.
 _ENABLED = False
 
 
@@ -226,8 +230,11 @@ def fused_grid_tail(xo, xd, w, rest, scale, interpret=None):
     F = w.shape[-1]
     if interpret is None:
         # the real chip registers as "axon" (tunneled PJRT plugin) or "tpu";
-        # anything else (the CPU test/mesh backend) takes the jnp path
-        if jax.default_backend() == "cpu" or not _ENABLED:
+        # anything else (the CPU test/mesh backend) takes the jnp path. The
+        # kernel is fp32-only — under a bfloat16 storage dtype the jnp path
+        # runs (and keeps the half-width HBM buffers end to end).
+        if (jax.default_backend() == "cpu" or not _ENABLED
+                or xo.dtype != jnp.float32):
             return _tail_jnp(xo, xd, w, rest, scale)
         interpret = False
 

@@ -1,23 +1,33 @@
-"""Numeric policy for matmuls: optionally run MXU contractions in bfloat16.
+"""Numeric policy: matmul compute dtype and activation STORAGE dtype.
 
-``ModelConfig.compute_dtype`` selects the policy. Parameters, activations and
-all elementwise math stay float32 — only the *operands* of matmuls / convs are
-cast, and accumulation is forced back to float32 via
-``preferred_element_type``. On a v5e the MXU's bf16 throughput is ~2x fp32
-with fp32 accumulation, so this is pure throughput headroom wherever the
-matmul (not the serial scan chain or the transport) is the bottleneck.
+Two independent knobs, both trace-time state:
+
+- ``ModelConfig.compute_dtype`` — with "bfloat16", the *operands* of matmuls
+  / convs are cast to bf16 and accumulation is forced back to float32 via
+  ``preferred_element_type``. On a v5e the MXU's bf16 throughput is ~2x fp32.
+  Measured NEUTRAL for this model family (README): the feature dims (5..64)
+  leave the MXU ~2% utilized — the step is HBM-bandwidth-bound, not
+  FLOPs-bound.
+- ``ModelConfig.storage_dtype`` — with "bfloat16", the big ACTIVATION buffers
+  (every post-``leaky_relu`` tensor, the applier outputs, the dense raster
+  fed to model + losses) materialize to HBM as bf16: the committed v5e
+  profile shows the step moves ~10.8 GB/step of fp32 activations at the HBM
+  roofline, so halving the bytes of the grid-scale tensors attacks the actual
+  bottleneck. Parameters, optimizer state, gradients, LSTM carries, loss
+  reductions and ``combine``'s norm accumulations all stay float32 (the
+  converts fuse into the adjacent producers/reductions — no extra traffic).
 
 The reference trains in torch float32 throughout (style/model.py:28 — no AMP
-anywhere); this knob is a TPU-first addition with no reference analogue.
+anywhere); both knobs are TPU-first additions with no reference analogue.
 
-The active dtype is trace-time state: it must be set (via
-:func:`set_compute_dtype` or the :func:`precision` context manager) while a
-``jit`` function is being *traced*. Entry points that own a config
-(``runtime.train.make_train_step``, ``transfer.ModelBundle``) wrap their
-traced bodies in ``precision(...)`` so callers never touch the global. jit
-caches do not key on this global — code that flips the dtype mid-process must
-use fresh jitted callables (the wrappers above re-enter the context on every
-trace, so per-shape re-traces always see the owner's dtype).
+The active dtypes must be set (via the setters or the :func:`precision`
+context manager) while a ``jit`` function is being *traced*. Entry points
+that own a config (``runtime.train.make_train_step``,
+``transfer.ModelBundle``) wrap their traced bodies in ``precision(...)`` so
+callers never touch the globals. jit caches do not key on these globals —
+code that flips a dtype mid-process must use fresh jitted callables (the
+wrappers above re-enter the context on every trace, so per-shape re-traces
+always see the owner's dtypes).
 """
 
 from __future__ import annotations
@@ -28,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 _COMPUTE_DTYPE = jnp.float32
+_STORAGE_DTYPE = jnp.float32
 
 
 def set_compute_dtype(dtype) -> None:
@@ -40,16 +51,46 @@ def compute_dtype():
     return _COMPUTE_DTYPE
 
 
+def set_storage_dtype(dtype) -> None:
+    """Set the process-wide activation storage dtype ("float32"/"bfloat16")."""
+    global _STORAGE_DTYPE
+    _STORAGE_DTYPE = jnp.dtype(dtype)
+
+
+def storage_dtype():
+    return _STORAGE_DTYPE
+
+
 @contextlib.contextmanager
-def precision(dtype):
-    """Scoped compute dtype — active for any tracing that happens inside."""
-    global _COMPUTE_DTYPE
+def precision(dtype, storage=None):
+    """Scoped numeric policy — active for any tracing that happens inside.
+
+    ``dtype``: the matmul compute dtype. ``storage``: the activation storage
+    dtype; ``None`` leaves the current storage dtype untouched (existing
+    compute-only call sites keep their exact behavior)."""
+    global _COMPUTE_DTYPE, _STORAGE_DTYPE
     prev = _COMPUTE_DTYPE
+    prev_storage = _STORAGE_DTYPE
     _COMPUTE_DTYPE = jnp.dtype(dtype)
+    if storage is not None:
+        _STORAGE_DTYPE = jnp.dtype(storage)
     try:
         yield
     finally:
         _COMPUTE_DTYPE = prev
+        _STORAGE_DTYPE = prev_storage
+
+
+def cast_storage(x):
+    """Round one activation tensor to the active storage dtype (no-op fp32).
+
+    Apply at the points where a grid-scale tensor is PRODUCED (activation
+    outputs, raster materialization): the convert fuses into the producing
+    op, the HBM buffer lands at half width, and — because cotangent dtypes
+    follow primal dtypes — the matching backward buffer does too."""
+    if _STORAGE_DTYPE == jnp.float32 or x.dtype != jnp.float32:
+        return x
+    return x.astype(_STORAGE_DTYPE)
 
 
 def cast_operand(x):
@@ -84,6 +125,10 @@ def conv_general_dilated(x, kernel, **kwargs):
     runs wholly in bf16 and the output is cast back — the TPU MXU still
     accumulates in fp32 internally; only the result rounds to bf16."""
     if _COMPUTE_DTYPE == jnp.float32:
+        # lax.conv requires matching operand dtypes — under a bf16 storage
+        # dtype the input raster arrives half-width against fp32 kernels
+        if x.dtype != kernel.dtype:
+            x = x.astype(kernel.dtype)
         return jax.lax.conv_general_dilated(x, kernel, **kwargs)
     out = jax.lax.conv_general_dilated(
         x.astype(_COMPUTE_DTYPE), kernel.astype(_COMPUTE_DTYPE), **kwargs)

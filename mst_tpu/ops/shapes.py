@@ -55,7 +55,12 @@ def combine(x, axis: int = 1, mask=None, safe: bool = True):
     slices contribute nothing to numerator or denominator (padding support).
     """
     norm_axes = tuple(i for i in range(x.ndim) if i not in (0, axis))
-    sq = (x * x).sum(axis=norm_axes, keepdims=True)
+    # norms/denominators always accumulate in float32: under a bfloat16
+    # storage dtype the inputs may arrive half-width, but a million-element
+    # sum of squares in bf16 would lose the low bits that distinguish the
+    # channel weights (the converts fuse into the reduce — no extra traffic)
+    xf = x.astype(jnp.float32)
+    sq = (xf * xf).sum(axis=norm_axes, keepdims=True)
     if safe:
         norm = jnp.sqrt(1.0 + sq)
     else:

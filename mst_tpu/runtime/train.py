@@ -148,10 +148,17 @@ def _make_step_fn(model: StyleTransferModel, config: Config,
 
     def step(state: TrainState, batch: Batch):
         def scalar_loss(params):
-            # traced under the config's compute dtype: matmul operands cast
-            # to bf16 when compute_dtype="bfloat16" (params/grads stay fp32)
-            with precision.precision(config.model.compute_dtype):
-                losses = loss_fn(model, params, batch, has_unpitched)
+            # traced under the config's numeric policy: matmul operands cast
+            # to bf16 under compute_dtype="bfloat16", grid-scale activations
+            # and the raster under storage_dtype="bfloat16" (params/grads/
+            # optimizer state stay fp32)
+            with precision.precision(config.model.compute_dtype,
+                                     storage=config.model.storage_dtype):
+                b = batch._replace(
+                    pitched=precision.cast_storage(batch.pitched),
+                    unpitched=(None if batch.unpitched is None else
+                               precision.cast_storage(batch.unpitched)))
+                losses = loss_fn(model, params, b, has_unpitched)
             return losses.total, losses
 
         if config.train.remat:

@@ -1,8 +1,11 @@
-"""The bfloat16 matmul policy (ModelConfig.compute_dtype / ops.precision).
+"""The bfloat16 numeric policies (ops.precision):
 
-Params and outputs must stay float32; bf16 only changes matmul operand
-precision, so outputs track fp32 within bf16 rounding and training dynamics
-are preserved (loss-trajectory test).
+- ModelConfig.compute_dtype — matmul OPERAND precision. Params and outputs
+  must stay float32; outputs track fp32 within bf16 rounding and training
+  dynamics are preserved (loss-trajectory test).
+- ModelConfig.storage_dtype — activation STORAGE precision (the HBM-traffic
+  lever; README "Measured behavior"). Params, grads, optimizer state and
+  loss reductions must stay float32; the loss trajectory must track fp32.
 """
 
 import dataclasses
@@ -100,6 +103,50 @@ def test_bf16_train_step_keeps_params_fp32_and_tracks_loss(model_and_params):
     assert all(np.isfinite(l) for l in losses16), losses16
     np.testing.assert_allclose(losses16, losses32, rtol=0.05, atol=0.02)
     # and the loss actually goes DOWN under bf16 like it does under fp32
+    assert losses16[-1] < losses16[0]
+
+
+def test_storage_context_restores_and_default_is_noop():
+    from mst_tpu.ops.precision import cast_storage, storage_dtype
+    assert storage_dtype() == jnp.float32
+    x = jnp.ones((3,), jnp.float32)
+    assert cast_storage(x) is x  # fp32 default: literally a no-op
+    with precision("float32", storage="bfloat16"):
+        assert storage_dtype() == jnp.bfloat16
+        assert compute_dtype() == jnp.float32
+        assert cast_storage(x).dtype == jnp.bfloat16
+        # non-fp32 inputs (int masks, already-cast tensors) pass through
+        i = jnp.ones((3,), jnp.int32)
+        assert cast_storage(i) is i
+    assert storage_dtype() == jnp.float32
+
+
+def test_bf16_storage_train_step_tracks_fp32(model_and_params):
+    """Under storage_dtype="bfloat16" every param/grad/opt-state leaf stays
+    float32, the losses stay finite and track the fp32 trajectory (the big
+    activation buffers round to bf16, but loss reductions run fp32), and
+    the loss goes down."""
+    from mst_tpu.runtime.train import create_train_state, make_train_step
+    model, _, batch = model_and_params
+
+    def run(dtype, n=5):
+        config = Config(model=ModelConfig(storage_dtype=dtype))
+        state = create_train_state(model, config, batch, jax.random.PRNGKey(0))
+        step = make_train_step(model, config, has_unpitched=True)
+        losses = []
+        for _ in range(n):
+            state, l = step(state, batch)
+            losses.append(l.total)
+        return state, losses
+
+    state16, losses16 = run("bfloat16")
+    state32, losses32 = run("float32")
+    for leaf in jax.tree_util.tree_leaves((state16.params, state16.opt_state,
+                                           state16.accum_grads)):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+    assert all(np.isfinite(l) for l in losses16), losses16
+    np.testing.assert_allclose(losses16, losses32, rtol=0.05, atol=0.02)
     assert losses16[-1] < losses16[0]
 
 

@@ -7,7 +7,11 @@ pick the one XLA lowers best on the v5e. Run ad hoc; results feed
 models/layers.grid_times_w.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

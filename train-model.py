@@ -52,6 +52,13 @@ def main():
                         help="matmul compute dtype (params/grads stay "
                              "float32; bfloat16 doubles MXU throughput). "
                              "Default: ModelConfig.compute_dtype")
+    parser.add_argument("--storage-dtype", default=None,
+                        choices=("float32", "bfloat16"),
+                        help="activation STORAGE dtype: bfloat16 halves the "
+                             "HBM bytes of the grid-scale activation buffers "
+                             "— the measured bottleneck of the train step "
+                             "(params/grads/optimizer/loss reductions stay "
+                             "float32). Default: ModelConfig.storage_dtype")
     parser.add_argument("--steps-per-dispatch", type=int, default=1,
                         help="scan this many steps inside ONE jitted "
                              "dispatch (amortizes the per-dispatch transport "
@@ -85,9 +92,11 @@ def main():
     config = Config(train=TrainConfig(n_iterations=args.iters, seed=args.seed,
                                       save_interval=args.save_interval,
                                       remat=args.remat))
-    if args.compute_dtype:
+    if args.compute_dtype or args.storage_dtype:
         config = dataclasses.replace(config, model=dataclasses.replace(
-            config.model, compute_dtype=args.compute_dtype))
+            config.model,
+            compute_dtype=args.compute_dtype or config.model.compute_dtype,
+            storage_dtype=args.storage_dtype or config.model.storage_dtype))
 
     print(f"Using {jax.devices()[0].platform}:{jax.devices()[0]}")
     print("Listing data files")
