@@ -158,7 +158,29 @@ def bench_ingestion(n_songs=64):
         songs = list(pool.map(get_model_input, files))
     dt = time.perf_counter() - t0
     assert all(s is not None for s in songs)
-    return len(files) / dt
+
+    # steady-state epochs on the TRAIN pipeline: with the cross-epoch
+    # SongCache (data/cache.py) every epoch after the first replays slim
+    # Songs from host RAM — the reference re-parses each file each epoch
+    # (style/data.py:34-48), so its warm rate equals its cold rate
+    import numpy as np
+    from mst_tpu.data.cache import SongCache
+    from mst_tpu.data.pipeline import iter_inputs
+
+    cache = SongCache()
+    it = iter_inputs(files, shuffle=True, looped=True,
+                     rng=np.random.default_rng(0), cache=cache)
+    n_good = 0
+    for _ in range(len(files)):  # epoch 1: fill (some files may filter out)
+        next(it)
+        n_good += 1
+        if cache.misses >= len(files):
+            break
+    t0 = time.perf_counter()
+    for _ in range(2 * n_good):  # two pure-warm epochs
+        next(it)
+    warm = 2 * n_good / (time.perf_counter() - t0)
+    return len(files) / dt, warm
 
 
 def bench_single_song(bundle):
@@ -261,7 +283,7 @@ def main():
 
     songs_per_sec, sec_per_song, t_flops_per_song = bench_transfer(bundle)
     single_latency = bench_single_song(bundle)
-    ingest_songs_per_sec = bench_ingestion()
+    ingest_songs_per_sec, warm_replay_per_sec = bench_ingestion()
     steps_per_sec, flops_per_step, dtype = bench_train_step(bundle)
     scan_k = 16
     scan_steps_per_sec = bench_train_scan(bundle, k=scan_k)
@@ -274,6 +296,17 @@ def main():
         # <1 s/song pipeline's bottleneck
         "vs_baseline": round(ingest_songs_per_sec / TARGET_SONGS_PER_SEC, 4),
         "baseline": "north-star-target",
+    }))
+
+    # steady-state training epochs replay slim Songs from the cross-epoch
+    # cache (data/cache.py); vs_baseline is vs COLD ingestion — the
+    # reference's warm rate, since it re-parses every file every epoch
+    print(json.dumps({
+        "metric": "cached_epoch_replay",
+        "value": round(warm_replay_per_sec, 1),
+        "unit": "songs/sec",
+        "vs_baseline": round(warm_replay_per_sec / ingest_songs_per_sec, 1),
+        "baseline": "cold-ingestion (reference re-parses every epoch)",
     }))
 
     # device-side matmul FLOPs the batched transfer executes per song, and

@@ -6,3 +6,4 @@ from mst_tpu.data.pipeline import (  # noqa: F401
     Song, get_input, iter_inputs, iter_all_midis, prepare_input,
     get_used_instruments,
 )
+from mst_tpu.data.cache import SongCache  # noqa: F401

@@ -30,41 +30,107 @@ from mst_tpu.theory import detect_scale, keys_dist_from_notes
 class Song:
     """One assembled song (parity: get_input's return tuple, style/data.py:100).
 
-    Also retains the SoA note arrays so the device-side rasterizer can ship
-    notes (KBs) instead of the dense raster (tens of MB) — see
-    mst_tpu.ops.device_raster.
+    Retains the SoA note arrays so the device-side rasterizer can ship notes
+    (KBs) instead of the dense raster (tens of MB) — see
+    mst_tpu.ops.device_raster. The dense host rasters themselves are LAZY:
+    ``get_input`` materializes them eagerly (cold ingestion, behavior
+    unchanged), but a :meth:`slim` copy drops them and rebuilds on first
+    ``.pitched``/``.unpitched`` access — that is what makes the cross-epoch
+    :class:`~mst_tpu.data.cache.SongCache` affordable (~KBs of notes per song
+    instead of ~10 MB of raster). The device-raster training path only ever
+    reads the metadata fields below, so cached replay never rasterizes on the
+    host at all.
     """
 
     info: SongInfo
-    pitched: np.ndarray                    # (C, bar, beat, frac, 56, 5) float32
     instruments_features: np.ndarray       # (C, 51) float32
     instruments: List[int]                 # pitched instrument program ids
-    unpitched: Optional[np.ndarray]        # (Cu, bar, beat, frac, 47, 2) or None
-    pitched_notes: Optional[List[NoteArray]] = None
-    unpitched_notes: Optional[List[NoteArray]] = None
+    pitched_notes: List[NoteArray]
+    unpitched_notes: List[NoteArray]
+    # dense-raster metadata, computed once at cold ingestion so consumers can
+    # bucket/skip/collate without touching the dense arrays:
+    pitched_shape: Tuple[int, ...]         # (C, bar, beat, frac, 56, 5)
+    unpitched_shape: Optional[Tuple[int, ...]]  # (Cu, bar, beat, frac, 47, 2)
+    pitched_empty: bool                    # pitched raster sums to zero
+    has_unpitched: bool                    # unpitched raster exists, sum > 0
+    dense_pitched: Optional[np.ndarray] = None
+    dense_unpitched: Optional[np.ndarray] = None
     path: Optional[str] = None
     cursor: Optional[int] = None  # resume position in the corpus stream
 
     @property
     def n_channels(self) -> int:
-        return self.pitched.shape[0]
+        return self.pitched_shape[0]
 
     @property
     def n_bars(self) -> int:
-        return self.pitched.shape[1]
+        return self.pitched_shape[1]
+
+    @property
+    def beats_per_bar(self) -> int:
+        return self.pitched_shape[2]
+
+    @property
+    def pitched(self) -> np.ndarray:
+        """Dense pitched raster (C, bar, beat, frac, 56, 5); rasterized on
+        first access after :meth:`slim` (bit-identical to the cold build —
+        Rasterizer is deterministic in ``info``)."""
+        if self.dense_pitched is None:
+            self.dense_pitched = _rasterize_channels(
+                Rasterizer(self.info), self.pitched_notes, True,
+                self.pitched_shape)
+        return self.dense_pitched
+
+    @property
+    def unpitched(self) -> Optional[np.ndarray]:
+        if self.unpitched_shape is None:
+            return None
+        if self.dense_unpitched is None:
+            self.dense_unpitched = _rasterize_channels(
+                Rasterizer(self.info), self.unpitched_notes, False,
+                self.unpitched_shape)
+        return self.dense_unpitched
+
+    def slim(self) -> "Song":
+        """A copy without the dense rasters (they rebuild lazily on access).
+        Notes/metadata are shared references — treat them as read-only."""
+        return dataclasses.replace(self, dense_pitched=None,
+                                   dense_unpitched=None)
+
+    @property
+    def nbytes(self) -> int:
+        """Resident bytes of a slim copy (SoA notes + features) — the unit of
+        SongCache's budget accounting. Dense rasters are excluded by design."""
+        total = self.instruments_features.nbytes
+        for notes in (*self.pitched_notes, *self.unpitched_notes):
+            total += (notes.note_id.nbytes + notes.time.nbytes
+                      + notes.end_time.nbytes + notes.velocity.nbytes)
+        return total
 
 
-def iter_all_midis(files: Sequence, shuffle: bool = False, looped: bool = False,
-                   rng: Optional[np.random.Generator] = None,
-                   start_at: int = 0):
-    """Defensive corpus iteration (parity: style/data.py:34-48).
+def _rasterize_channels(rasterizer: Rasterizer, channels: List[NoteArray],
+                        pitched: bool, shape: Tuple[int, ...]) -> np.ndarray:
+    out = np.zeros(shape, np.float32)
+    for c, notes in enumerate(channels):
+        rasterizer.rasterize(notes, pitched=pitched, out=out[c])
+    return out
 
-    Yields ``(attempt_index, file, channels, info)``. The stream is
-    deterministic for a given seed (one shuffle up front, the same order every
-    epoch), so ``start_at`` resumes it exactly: the first ``start_at`` file
-    attempts are skipped without even opening them."""
+
+def _iter_file_attempts(files: Sequence, shuffle: bool = False,
+                        looped: bool = False,
+                        rng: Optional[np.random.Generator] = None,
+                        start_at: int = 0):
+    """The corpus attempt stream: ``(attempt_index, file)``, deterministic for
+    a given seed (one shuffle up front, the same order every epoch), so
+    ``start_at`` resumes it exactly — the first ``start_at`` attempts are
+    skipped without even opening the files (and a SongCache hit is decided on
+    the path alone, before any I/O)."""
     rng = rng or np.random.default_rng()
     files = list(files)
+    if not files and looped:
+        # an empty looped corpus would otherwise spin forever; a user who
+        # pointed --data-dir at the wrong place gets an error, not a hang
+        raise ValueError("empty corpus: no files to iterate")
     if shuffle:
         rng.shuffle(files)
     attempt = 0
@@ -72,39 +138,87 @@ def iter_all_midis(files: Sequence, shuffle: bool = False, looped: bool = False,
         for file in files:
             index = attempt
             attempt += 1
-            if index < start_at:
-                continue
-            mid = load_midi_from_file(file)
-            if mid is None:
-                continue
-            try:
-                channels, info = read_midi(mid)
-            except MidiFormatError:
-                continue
-            yield index, file, channels, info
+            if index >= start_at:
+                yield index, file
         if not looped:
             return
 
 
+def _load_and_read(file):
+    """Defensive load + event parse (parity: style/data.py:34-48); returns
+    ``(channels, info)`` or None for unloadable/malformed files."""
+    mid = load_midi_from_file(file)
+    if mid is None:
+        return None
+    try:
+        return read_midi(mid)
+    except MidiFormatError:
+        return None
+
+
+def iter_all_midis(files: Sequence, shuffle: bool = False, looped: bool = False,
+                   rng: Optional[np.random.Generator] = None,
+                   start_at: int = 0):
+    """Defensive corpus iteration (parity: style/data.py:34-48).
+
+    Yields ``(attempt_index, file, channels, info)``."""
+    for index, file in _iter_file_attempts(files, shuffle, looped, rng,
+                                           start_at):
+        loaded = _load_and_read(file)
+        if loaded is None:
+            continue
+        channels, info = loaded
+        yield index, file, channels, info
+
+
 def iter_inputs(files: Sequence, instruments: Sequence[int] = INCLUDED_INSTRUMENTS,
-                min_n_messages: int = 100, **kwargs) -> Iterable[Tuple[str, Song]]:
+                min_n_messages: int = 100, cache=None,
+                **kwargs) -> Iterable[Tuple[str, Song]]:
     """Filter channels to the modeled instruments and assemble songs
-    (parity: style/data.py:51-63)."""
+    (parity: style/data.py:51-63).
+
+    ``cache``: optional :class:`mst_tpu.data.cache.SongCache`. The reference
+    re-parses and re-rasterizes every file on every epoch
+    (style/data.py:34-48 — iter_all_midis re-opens each path each loop); with
+    a cache, a path seen before replays its slim Song (or its known-bad
+    verdict) straight from host RAM, so steady-state epochs cost ~0 host CPU.
+    The yielded stream is identical either way — same order, same cursor
+    values, value-equal songs (tests/test_cache.py). Single-consumer use only
+    (the prefetch thread); the cache is not thread-safe."""
     allowed = set([-1, *instruments])
-    for index, filename, channels, info in iter_all_midis(files, **kwargs):
+    for index, file in _iter_file_attempts(files, **kwargs):
+        if cache is not None:
+            hit = cache.get(file)
+            if hit is cache.BAD:
+                continue
+            if hit is not None:
+                yield file, dataclasses.replace(hit, cursor=index + 1)
+                continue
+        loaded = _load_and_read(file)
+        if loaded is None:
+            if cache is not None:
+                cache.put_bad(file)
+            continue
+        channels, info = loaded
         channels = [
             c for c in channels
             if c["instrument_id"] in allowed and len(c["messages"]) >= min_n_messages
         ]
         if not any(is_pitched(c["instrument_id"]) for c in channels):
+            if cache is not None:
+                cache.put_bad(file)
             continue
         try:
             song = get_input(channels, info)
         except MidiFormatError:
+            if cache is not None:
+                cache.put_bad(file)
             continue
-        song.path = filename
+        song.path = file
         song.cursor = index + 1  # resuming from here replays the next attempt
-        yield filename, song
+        if cache is not None:
+            cache.put(file, song.slim())
+        yield file, song
 
 
 def get_input(channels: List[dict], info: SongInfo) -> Song:
@@ -141,24 +255,32 @@ def get_input(channels: List[dict], info: SongInfo) -> Song:
     info.scale = detect_scale(keys_dist)
 
     rasterizer = Rasterizer(info)
-    pitched = np.zeros((len(pitched_channels),)
-                       + rasterizer.raster_shape(True), np.float32)
-    for c, (_, n) in enumerate(pitched_channels):
-        rasterizer.rasterize(n, pitched=True, out=pitched[c])
+    pitched_shape = ((len(pitched_channels),)
+                     + rasterizer.raster_shape(True))
+    pitched = _rasterize_channels(
+        rasterizer, [n for _, n in pitched_channels], True, pitched_shape)
     unpitched = None
+    unpitched_shape = None
     if unpitched_channels:
-        unpitched = np.zeros((len(unpitched_channels),)
-                             + rasterizer.raster_shape(False), np.float32)
-        for c, (_, n) in enumerate(unpitched_channels):
-            rasterizer.rasterize(n, pitched=False, out=unpitched[c])
+        unpitched_shape = ((len(unpitched_channels),)
+                           + rasterizer.raster_shape(False))
+        unpitched = _rasterize_channels(
+            rasterizer, [n for _, n in unpitched_channels], False,
+            unpitched_shape)
 
     instruments = [i for i, _ in pitched_channels]
     instruments_features = encode_instruments(instruments).astype(np.float32)
-    return Song(info=info, pitched=pitched,
+    return Song(info=info,
                 instruments_features=instruments_features,
-                instruments=instruments, unpitched=unpitched,
+                instruments=instruments,
                 pitched_notes=[n for _, n in pitched_channels],
-                unpitched_notes=[n for _, n in unpitched_channels])
+                unpitched_notes=[n for _, n in unpitched_channels],
+                pitched_shape=pitched_shape,
+                unpitched_shape=unpitched_shape,
+                pitched_empty=bool(pitched.sum() == 0),
+                has_unpitched=bool(unpitched is not None
+                                   and unpitched.sum() > 0),
+                dense_pitched=pitched, dense_unpitched=unpitched)
 
 
 def prepare_input(song: Song, max_n_bars: Optional[int] = None):

@@ -358,7 +358,7 @@ def device_batch_from_song(song: Song, max_channels: int, max_bars: int,
     DEVICE from the song's SoA notes (mst_tpu.ops.device_raster) — per step
     only ~KBs of note records cross host->HBM instead of the padded tensor
     (tens of MB). Masks/labels identical to pad_batch."""
-    if song.pitched.sum() == 0:
+    if song.pitched_empty:
         return None
     return device_batch_from_songs([song], max_channels, max_bars,
                                    bar_cap=bar_cap, use_pallas=use_pallas)
@@ -385,17 +385,17 @@ def device_batch_from_songs(songs, max_channels: int, max_bars: int,
     valid_bars = []
     channel_counts = []
     for i, song in enumerate(songs):
-        R = min(song.pitched.shape[1], max_bars)
+        R = min(song.n_bars, max_bars)
         if bar_caps[i] is not None:
             R = min(R, bar_caps[i])
         valid_bars.append(R)
-        channel_counts.append(min(song.pitched.shape[0], max_channels))
+        channel_counts.append(min(song.n_channels, max_channels))
 
     pitched = device_rasterize_batch(
         rasterizers, [s.pitched_notes[:c] for s, c in
                       zip(songs, channel_counts)],
         True, max_channels, max_bars, valid_bars, use_pallas=use_pallas)
-    has_u = [s.unpitched is not None and s.unpitched.sum() > 0 for s in songs]
+    has_u = [s.has_unpitched for s in songs]
     unpitched = None
     if any(has_u):
         unpitched = device_rasterize_batch(

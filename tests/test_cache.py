@@ -1,0 +1,140 @@
+"""Cross-epoch ingestion cache (mst_tpu.data.cache).
+
+The reference re-parses every MIDI file on every epoch
+(style/data.py:34-48); the SongCache replays slim Songs from host RAM
+instead. These tests pin the contract: the cached stream is
+order/cursor/value-identical to an uncached run, lazy raster rebuilds are
+bit-identical, known-bad files stop costing parse attempts, and the byte
+budget evicts LRU-first.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import mst_tpu.data.pipeline as pipeline
+from mst_tpu.data.cache import SongCache
+from mst_tpu.data.pipeline import iter_inputs
+
+
+def _take(files, n, cache=None, start_at=0, seed=7):
+    it = iter_inputs(files, shuffle=True, looped=True,
+                     rng=np.random.default_rng(seed), start_at=start_at,
+                     cache=cache)
+    return [next(it) for _ in range(n)]
+
+
+def _songs_equal(a, b):
+    assert a.path == b.path
+    assert a.cursor == b.cursor
+    assert a.instruments == b.instruments
+    assert a.info.bpm == b.info.bpm
+    assert a.info.scale.tonic == b.info.scale.tonic
+    assert a.info.scale.is_minor == b.info.scale.is_minor
+    assert np.array_equal(a.instruments_features, b.instruments_features)
+    assert a.pitched_shape == b.pitched_shape
+    assert a.unpitched_shape == b.unpitched_shape
+    assert a.pitched_empty == b.pitched_empty
+    assert a.has_unpitched == b.has_unpitched
+    for na, nb in zip(a.pitched_notes, b.pitched_notes):
+        assert np.array_equal(na.note_id, nb.note_id)
+        assert np.array_equal(na.time, nb.time)
+        assert np.array_equal(na.end_time, nb.end_time)
+        assert np.array_equal(na.velocity, nb.velocity)
+    # dense rasters: one side may rebuild lazily — must be bit-identical
+    assert np.array_equal(a.pitched, b.pitched)
+    if a.unpitched_shape is not None:
+        assert np.array_equal(a.unpitched, b.unpitched)
+
+
+def test_cached_stream_matches_uncached(example_midis):
+    """Two looped epochs with a cache yield the exact order/cursor/value
+    stream of an uncached run (the cache is observationally invisible)."""
+    files = [str(p) for p in example_midis[:5]]
+    n = 2 * len(files)  # spans the epoch boundary -> epoch 2 is all hits
+    cache = SongCache()
+    plain = _take(files, n)
+    cached = _take(files, n, cache=cache)
+    assert [f for f, _ in plain] == [f for f, _ in cached]
+    for (_, a), (_, b) in zip(plain, cached):
+        _songs_equal(a, b)
+    assert cache.hits > 0  # epoch 2 actually replayed from RAM
+
+
+def test_cache_resume_cursor_still_exact(example_midis):
+    """start_at resume semantics survive the cache: a resumed cached
+    iterator replays exactly the uncached continuation."""
+    files = [str(p) for p in example_midis[:5]]
+    cache = SongCache()
+    full = _take(files, 5, cache=cache)
+    cursor = full[1][1].cursor
+    resumed = _take(files, 3, cache=cache, start_at=cursor)
+    assert [f for f, _ in resumed] == [f for f, _ in full[2:5]]
+    assert [s.cursor for _, s in resumed] == [s.cursor for _, s in full[2:5]]
+
+
+def test_slim_rebuild_bit_identical(example_midis):
+    """slim() drops the dense rasters; first .pitched/.unpitched access
+    rebuilds them bit-identically (Rasterizer is deterministic)."""
+    files = [str(p) for p in example_midis[:3]]
+    (_, song), = _take(files, 1)
+    slim = song.slim()
+    assert slim.dense_pitched is None and slim.dense_unpitched is None
+    assert np.array_equal(slim.pitched, song.pitched)
+    if song.unpitched_shape is not None:
+        assert np.array_equal(slim.unpitched, song.unpitched)
+    else:
+        assert slim.unpitched is None
+    assert slim.nbytes < song.pitched.nbytes  # notes are far smaller
+
+
+def test_second_epoch_never_reparses(example_midis, tmp_path, monkeypatch):
+    """After epoch 1, neither good nor bad files are opened again: good
+    paths replay from the cache, bad paths replay their cached verdict."""
+    bad = tmp_path / "corrupt.mid"
+    bad.write_bytes(b"MThd\x00\x00\x00\x06garbage-not-midi")
+    files = [str(p) for p in example_midis[:3]] + [str(bad)]
+
+    calls = []
+    real = pipeline._load_and_read
+    monkeypatch.setattr(pipeline, "_load_and_read",
+                        lambda f: calls.append(f) or real(f))
+
+    cache = SongCache()
+    got = _take(files, 6, cache=cache)  # 3 good/epoch -> spans 2 epochs
+    assert len(set(calls)) == len(calls) == 4  # each path parsed exactly once
+    assert str(bad) not in [f for f, _ in got]
+    assert cache.get(str(bad)) is SongCache.BAD
+
+
+def test_lru_eviction_respects_byte_budget(example_midis):
+    files = [str(p) for p in example_midis[:4]]
+    probe = SongCache()
+    taken = _take(files, 4, cache=probe)
+    sizes = {s.path: s.nbytes for _, s in taken}
+    # budget = largest two songs -> after one epoch only later entries remain
+    order = [s.path for _, s in taken]
+    budget = sizes[order[-1]] + sizes[order[-2]]
+    cache = SongCache(max_bytes=budget)
+    _take(files, 4, cache=cache)
+    assert cache.nbytes <= budget
+    assert len(cache) < 4
+    assert cache.get(order[-1]) is not None  # most recent survives
+
+    # an entry larger than the whole budget is refused, not thrashed
+    tiny = SongCache(max_bytes=1)
+    tiny.put(order[0], taken[0][1].slim())
+    assert len(tiny) == 0 and tiny.nbytes == 0
+
+
+def test_bad_entry_accounting():
+    cache = SongCache(max_bytes=1 << 20)
+    cache.put_bad("x.mid")
+    assert cache.get("x.mid") is SongCache.BAD
+    assert cache.nbytes > 0
+    cache.put_bad("x.mid")  # idempotent re-insert keeps accounting sane
+    assert len(cache) == 1
+    assert cache.get("x.mid") is SongCache.BAD
+    stats = cache.stats()
+    assert stats["songs"] == 1 and stats["hits"] == 2

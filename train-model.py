@@ -65,6 +65,13 @@ def main():
                              "round-trip of a remote-attached TPU; consecutive "
                              "same-bucket batches are stacked, others run "
                              "single). Requires no --exact-shapes/mesh")
+    parser.add_argument("--cache-mb", type=int, default=512,
+                        help="host-RAM budget (MB) for the cross-epoch "
+                             "ingestion cache: each corpus file is parsed/"
+                             "rasterized once and later epochs replay its "
+                             "SoA notes from RAM (~tens of KB/song). 0 "
+                             "disables (re-parse every epoch, like the "
+                             "reference)")
     args = parser.parse_args()
     if args.steps_per_dispatch > 1 and args.exact_shapes:
         raise SystemExit("--steps-per-dispatch needs bucketed shapes "
@@ -127,10 +134,14 @@ def main():
             print(f"Resuming from snapshot {latest} "
                   f"(data cursor {resume_cursor})")
 
+    cache = None
+    if args.cache_mb > 0:
+        from mst_tpu.data.cache import SongCache
+        cache = SongCache(max_bytes=args.cache_mb << 20)
     songs = iter_inputs(files, shuffle=True, looped=True,
                         min_n_messages=config.train.min_n_messages,
                         rng=np.random.default_rng(config.train.seed),
-                        start_at=resume_cursor)
+                        start_at=resume_cursor, cache=cache)
 
     mesh = None
     if (args.batch_size > 1 or args.seq_parallel > 1) and \
@@ -153,7 +164,7 @@ def main():
         while True:
             if args.batch_size == 1:
                 filename, song = next(songs)
-                if song.pitched.sum() == 0:
+                if song.pitched_empty:
                     continue
                 max_n_bars = config.train.max_total_bars // song.n_channels
                 Cb = bucket_shape(song.n_channels,
@@ -165,10 +176,10 @@ def main():
             group, caps = [], []
             while len(group) < args.batch_size:
                 _, song = next(songs)
-                if song.pitched.sum() == 0:
+                if song.pitched_empty:
                     continue
-                if group and song.pitched.shape[2] != \
-                        group[0].pitched.shape[2]:
+                if group and song.beats_per_bar != \
+                        group[0].beats_per_bar:
                     continue  # batch tensors share one beats-per-bar axis
                 group.append(song)
                 caps.append(config.train.max_total_bars // song.n_channels)
@@ -181,7 +192,7 @@ def main():
             # (a (8,8,256,4) batch OOMs a 16 GB chip); truncation beyond the
             # cap mirrors the reference's max_total_bars rule
             Rb = clamp_bar_bucket(Rb, len(group), Cb,
-                                  group[0].pitched.shape[2],
+                                  group[0].beats_per_bar,
                                   config.train.batch_cell_budget,
                                   config.train.bar_buckets)
             caps = [min(c, Rb) for c in caps]
@@ -189,9 +200,8 @@ def main():
 
     def stack_signature(g):
         songs_g, Cb, Rb, _ = g
-        has_u = any(s.unpitched is not None and s.unpitched.sum() > 0
-                    for s in songs_g)
-        return (len(songs_g), Cb, Rb, songs_g[0].pitched.shape[2], has_u)
+        has_u = any(s.has_unpitched for s in songs_g)
+        return (len(songs_g), Cb, Rb, songs_g[0].beats_per_bar, has_u)
 
     spd = args.steps_per_dispatch
     if spd > 1:
