@@ -174,3 +174,23 @@ def test_checkpoint_cursor_roundtrip(tmp_path):
     assert mgr.load_cursor(4) == 123
     assert mgr.load_cursor(99) is None
     mgr.close()
+
+
+def test_persistent_compile_cache_enabled():
+    """Importing mst_tpu turns on JAX's persistent compilation cache (one
+    compile per machine, not per process — critical behind the slow remote
+    tunnel); MST_TPU_NO_COMPILE_CACHE=1 opts a process out."""
+    import os
+    import subprocess
+    import sys
+
+    import mst_tpu  # noqa: F401 — the import is what enables the cache
+
+    assert jax.config.jax_compilation_cache_dir
+    env = {**os.environ, "MST_TPU_NO_COMPILE_CACHE": "1"}
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import mst_tpu, jax; print(jax.config.jax_compilation_cache_dir)"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.stdout.strip() == "None"
