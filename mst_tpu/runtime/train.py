@@ -264,6 +264,40 @@ def make_multi_train_step(model: StyleTransferModel, config: Config,
     return jax.jit(multi, donate_argnums=(0,))
 
 
+def window_sort(stream, window: int, signature):
+    """Reorder ``(cursor, item)`` pairs inside blocks of ``window`` items so
+    same-``signature`` items become consecutive (stable within a block) —
+    the shape-bucket analogue of NLP length-bucketing. Feeding this into
+    :func:`group_stacks` turns a shape-diverse corpus from mostly-singleton
+    dispatches into mostly-full K-step scans.
+
+    Order semantics: each block is a permutation of ``window`` consecutive
+    stream items, so every epoch still visits every song and the shuffle's
+    global order is preserved at block granularity (the reference trains in
+    fully shuffled order, train-model.py:92-96; within-block locality is the
+    only deviation and is off by default).
+
+    Resume semantics are conservative: items before a block's last carry the
+    cursor that replays the block FROM ITS FIRST ATTEMPT (a mid-block resume
+    re-trains at most ``window - 1`` songs, never skips one); the block's
+    final item carries the true end-of-block cursor."""
+    import itertools
+
+    stream = iter(stream)
+    while True:
+        block = list(itertools.islice(stream, window))
+        if not block:
+            return
+        # stable sort by signature: items keep stream order within a bucket
+        order = sorted(range(len(block)),
+                       key=lambda i: (repr(signature(block[i][1])), i))
+        replay_block = block[0][0] - 1  # cursor-1 = the attempt index that
+        end_cursor = block[-1][0]       # yielded the block's first item
+        for n, i in enumerate(order):
+            cursor = end_cursor if n == len(order) - 1 else replay_block
+            yield cursor, block[i][1]
+
+
 def group_stacks(stream, k: int, signature, limit: Optional[int] = None):
     """Group CONSECUTIVE same-signature items from ``(cursor, item)`` pairs
     into stacks of exactly ``k`` for the multi-step path.

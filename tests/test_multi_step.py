@@ -127,3 +127,39 @@ def test_group_stacks_limit_prevents_overshoot():
     # 3-stack fits (3 <= 5), second would cross the budget -> singles
     assert sizes == [3, 1, 1, 1, 1]
     assert sum(sizes) == 7  # nothing dropped; the caller stops at its limit
+
+
+def test_window_sort_groups_signatures_within_block():
+    from mst_tpu.runtime.train import window_sort
+    stream = [(i + 1, s) for i, s in enumerate("ABABABAB")]  # cursors 1..8
+    out = list(window_sort(iter(stream), 8, signature=lambda x: x))
+    assert [it for _, it in out] == list("AAAABBBB")  # stable within block
+    # non-final items replay the whole block (cursor of attempt 0); the
+    # final item carries the true end-of-block cursor
+    assert [c for c, _ in out[:-1]] == [0] * 7
+    assert out[-1][0] == 8
+
+
+def test_window_sort_turns_alternating_stream_into_full_stacks():
+    from mst_tpu.runtime.train import window_sort
+    stream = [(i + 1, s) for i, s in enumerate("ABABABABABAB")]
+    plain = list(group_stacks(iter(stream), 3, signature=lambda x: x))
+    sorted_stream = window_sort(iter(stream), 6, signature=lambda x: x)
+    windowed = list(group_stacks(sorted_stream, 3, signature=lambda x: x))
+    assert all(len(items) == 1 for _, items in plain)  # alternation: singles
+    assert all(len(items) == 3 for _, items in windowed)  # full stacks
+    # same multiset of items either way — nothing dropped or duplicated
+    flat = sorted(it for _, items in windowed for it in items)
+    assert flat == sorted("ABABABABABAB")
+
+
+def test_window_sort_epoch_visits_every_song_once():
+    from mst_tpu.runtime.train import window_sort
+    # 3 signatures x uneven counts, across two windows of 5
+    stream = [(i + 1, s) for i, s in enumerate("ABCABACBAC")]
+    out = list(window_sort(iter(stream), 5, signature=lambda x: x))
+    assert sorted(it for _, it in out) == sorted("ABCABACBAC")
+    assert len(out) == 10
+    # block boundaries respected: first 5 outputs are a permutation of the
+    # first 5 inputs (no item crosses a window)
+    assert sorted(it for _, it in out[:5]) == sorted("ABCAB")

@@ -65,6 +65,16 @@ def main():
                              "round-trip of a remote-attached TPU; consecutive "
                              "same-bucket batches are stacked, others run "
                              "single). Requires no --exact-shapes/mesh")
+    parser.add_argument("--bucket-window", type=int, default=0,
+                        help="reorder this many consecutive songs so same-"
+                             "shape-bucket songs run as FULL K-step scans "
+                             "(needs --steps-per-dispatch>1 and batch size "
+                             "1; shape-bucket analogue of NLP length-"
+                             "bucketing). Every song is still visited once "
+                             "per epoch; a resume mid-window re-trains at "
+                             "most window-1 songs, never skips one. 0 "
+                             "disables (exact shuffled order, like the "
+                             "reference)")
     parser.add_argument("--cache-mb", type=int, default=512,
                         help="host-RAM budget (MB) for the cross-epoch "
                              "ingestion cache: each corpus file is parsed/"
@@ -76,6 +86,13 @@ def main():
     if args.steps_per_dispatch > 1 and args.exact_shapes:
         raise SystemExit("--steps-per-dispatch needs bucketed shapes "
                          "(drop --exact-shapes)")
+    if args.bucket_window:
+        if args.steps_per_dispatch <= 1:
+            raise SystemExit("--bucket-window only helps the K-step scan "
+                             "path (set --steps-per-dispatch)")
+        if args.batch_size != 1:
+            raise SystemExit("--bucket-window needs --batch-size 1 (group "
+                             "resume cursors only track the last song)")
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -205,7 +222,11 @@ def main():
 
     spd = args.steps_per_dispatch
     if spd > 1:
-        stacks = group_stacks(group_stream(), spd, stack_signature,
+        groups = group_stream()
+        if args.bucket_window:
+            from mst_tpu.runtime.train import window_sort
+            groups = window_sort(groups, args.bucket_window, stack_signature)
+        stacks = group_stacks(groups, spd, stack_signature,
                               limit=config.train.n_iterations
                               - start_iteration)
     else:
