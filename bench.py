@@ -169,14 +169,15 @@ def bench_ingestion(n_songs=64):
     from mst_tpu.data.pipeline import iter_inputs
 
     cache = SongCache()
+    # epoch 1 (fill) via a NON-looped pass: it terminates even if every file
+    # is bad/filtered, and counts exactly the good songs — a looped iterator
+    # here could spill into warm replays (or block forever on an all-bad
+    # corpus) when files filter out
+    n_good = sum(1 for _ in iter_inputs(files, cache=cache))
+    if n_good == 0:
+        raise RuntimeError("bench ingestion corpus yielded no usable songs")
     it = iter_inputs(files, shuffle=True, looped=True,
                      rng=np.random.default_rng(0), cache=cache)
-    n_good = 0
-    for _ in range(len(files)):  # epoch 1: fill (some files may filter out)
-        next(it)
-        n_good += 1
-        if cache.misses >= len(files):
-            break
     t0 = time.perf_counter()
     for _ in range(2 * n_good):  # two pure-warm epochs
         next(it)

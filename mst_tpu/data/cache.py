@@ -23,20 +23,37 @@ Design:
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
 from typing import Optional
 
 _BAD_COST = 64  # nominal accounting bytes for a known-bad path entry
 
 
+def _stat_sig(path: str):
+    """(st_mtime_ns, st_size) freshness signature, or None if unstattable."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (st.st_mtime_ns, st.st_size)
+
+
 class SongCache:
-    """Byte-bounded LRU of slim Songs (and known-bad paths)."""
+    """Byte-bounded LRU of slim Songs (and known-bad paths).
+
+    Entries carry the file's (mtime_ns, size) at ingestion time; a mismatch
+    on :meth:`get` (e.g. the corpus file was regenerated mid-run) drops the
+    entry and reports a miss, so stale parses are re-ingested instead of
+    replayed silently for every remaining epoch.
+    """
 
     BAD = object()  # sentinel: path is known unloadable/filtered
 
     def __init__(self, max_bytes: int = 512 << 20):
         self.max_bytes = int(max_bytes)
-        self._entries: "OrderedDict[str, object]" = OrderedDict()
+        # path -> (stat_sig, payload, cost)
+        self._entries: "OrderedDict[str, tuple]" = OrderedDict()
         self._bytes = 0
         self.hits = 0
         self.misses = 0
@@ -54,9 +71,16 @@ class SongCache:
         if entry is None:
             self.misses += 1
             return None
+        sig, payload, cost = entry
+        if sig is not None and _stat_sig(path) != sig:
+            # file changed on disk since ingestion: stale — drop and re-parse
+            del self._entries[path]
+            self._bytes -= cost
+            self.misses += 1
+            return None
         self.hits += 1
         self._entries.move_to_end(path)
-        return entry
+        return payload
 
     def put(self, path: str, song) -> None:
         """Cache one slim Song (callers pass ``song.slim()``)."""
@@ -65,18 +89,17 @@ class SongCache:
     def put_bad(self, path: str) -> None:
         self._insert(path, self.BAD, _BAD_COST)
 
-    def _insert(self, path: str, entry, cost: int) -> None:
+    def _insert(self, path: str, payload, cost: int) -> None:
         if cost > self.max_bytes:
             return  # a single over-budget song would evict everything
         old = self._entries.pop(path, None)
         if old is not None:
-            self._bytes -= _BAD_COST if old is self.BAD else old.nbytes
-        self._entries[path] = entry
+            self._bytes -= old[2]
+        self._entries[path] = (_stat_sig(path), payload, cost)
         self._bytes += cost
         while self._bytes > self.max_bytes and self._entries:
-            _, evicted = self._entries.popitem(last=False)
-            self._bytes -= (_BAD_COST if evicted is self.BAD
-                            else evicted.nbytes)
+            _, (_, _, evicted_cost) = self._entries.popitem(last=False)
+            self._bytes -= evicted_cost
 
     def stats(self) -> dict:
         return {"songs": len(self._entries), "bytes": self._bytes,

@@ -92,10 +92,29 @@ class Song:
         return self.dense_unpitched
 
     def slim(self) -> "Song":
-        """A copy without the dense rasters (they rebuild lazily on access).
-        Notes/metadata are shared references — treat them as read-only."""
+        """A copy without the dense rasters (they rebuild lazily on access),
+        safe to keep as a cross-epoch cache master:
+
+        - ``info`` is a fresh copy — in-repo consumers assign ``info.tempo``
+          / ``info.scale`` in place (mst_tpu/transfer.py), which must never
+          reach a cached entry;
+        - the shared numpy buffers (notes, instrument features) are marked
+          read-only, so an accidental mutation raises instead of silently
+          corrupting every later epoch's replay.
+        """
+        for arr in self._shared_arrays():
+            arr.flags.writeable = False
         return dataclasses.replace(self, dense_pitched=None,
-                                   dense_unpitched=None)
+                                   dense_unpitched=None,
+                                   info=dataclasses.replace(self.info))
+
+    def _shared_arrays(self):
+        yield self.instruments_features
+        for notes in (*self.pitched_notes, *self.unpitched_notes):
+            yield notes.note_id
+            yield notes.time
+            yield notes.end_time
+            yield notes.velocity
 
     @property
     def nbytes(self) -> int:
@@ -192,7 +211,11 @@ def iter_inputs(files: Sequence, instruments: Sequence[int] = INCLUDED_INSTRUMEN
             if hit is cache.BAD:
                 continue
             if hit is not None:
-                yield file, dataclasses.replace(hit, cursor=index + 1)
+                # fresh info per replay: consumers may assign tempo/scale in
+                # place (transfer does) without touching the cache master
+                yield file, dataclasses.replace(
+                    hit, cursor=index + 1,
+                    info=dataclasses.replace(hit.info))
                 continue
         loaded = _load_and_read(file)
         if loaded is None:
