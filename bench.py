@@ -217,7 +217,8 @@ def bench_train_step(bundle):
     channels, info = read_midi(load_midi_from_file(COMPOSITIONS[0]))
     song = get_input(channels, info)
     batch = device_batch_from_song(song, 8, 128,
-                                   bar_cap=800 // song.n_channels)
+                                   bar_cap=800 // song.n_channels,
+                                   raster_dtype=config.model.storage_dtype)
     state = create_train_state(bundle.model, config, batch,
                                jax.random.PRNGKey(0))
     step = make_train_step(bundle.model, config,
@@ -263,7 +264,8 @@ def bench_train_scan(bundle, k: int = 8):
     channels, info = read_midi(load_midi_from_file(COMPOSITIONS[0]))
     song = get_input(channels, info)
     cap = min(800 // song.n_channels, 128)
-    kbatch = device_batch_from_songs([song] * k, 8, 128, bar_cap=[cap] * k)
+    kbatch = device_batch_from_songs([song] * k, 8, 128, bar_cap=[cap] * k,
+                                     raster_dtype=config.model.storage_dtype)
     state = create_train_state(bundle.model, config, kbatch,
                                jax.random.PRNGKey(0))
     multi = make_multi_train_step(

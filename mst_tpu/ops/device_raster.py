@@ -115,23 +115,33 @@ def concat_and_pad(parts, pad_len: Optional[int] = None) -> DeviceNotes:
 
 
 def segment_rasterize(row, note_idx, acc, duration, velocity, valid,
-                      n_rows: int, n_notes: int, n_feat: int):
-    """jnp scatter-max rasterization -> (n_rows, n_notes * n_feat) float32.
+                      n_rows: int, n_notes: int, n_feat: int,
+                      out_dtype=jnp.float32):
+    """jnp scatter-max rasterization -> (n_rows, n_notes * n_feat).
 
     Semantics identical to the host Rasterizer.rasterize scatter
     (midi_conversion.py:490-516): zero base, elementwise max on collision,
-    accidental one-hot for pitched (n_feat == 5)."""
+    accidental one-hot for pitched (n_feat == 5).
+
+    ``out_dtype``: raster element type. Scattering directly at the training
+    storage dtype (bfloat16) halves the raster's HBM write AND the train
+    step's read of it; because round-to-nearest is monotone, casting the
+    values before the max equals casting the fp32 scatter's result — the
+    training path sees bit-identical tensors either way. The transfer path
+    keeps fp32 (its packed wire formats are proven against the fp32 raster).
+    """
+    out_dtype = jnp.dtype(out_dtype)
     lane0 = note_idx * n_feat
-    neg = jnp.float32(-jnp.inf)
+    neg = jnp.asarray(-jnp.inf, out_dtype)
     vmask = valid
 
     def scatter(col, val):
-        val = jnp.where(vmask, val, neg)
+        val = jnp.where(vmask, val.astype(out_dtype), neg)
         col = jnp.where(vmask, col, 0)
         r = jnp.where(vmask, row, 0)
         return (r, col), val
 
-    out = jnp.zeros((n_rows, n_notes * n_feat), jnp.float32)
+    out = jnp.zeros((n_rows, n_notes * n_feat), out_dtype)
     (r, c), v = scatter(lane0, duration)
     out = out.at[r, c].max(v)
     (r, c), v = scatter(lane0 + 1, velocity)
@@ -145,7 +155,8 @@ def segment_rasterize(row, note_idx, acc, duration, velocity, valid,
 def device_rasterize_song(rasterizer: Rasterizer, note_arrays, pitched: bool,
                           n_channels: int, n_bars: Optional[int] = None,
                           valid_bars: Optional[int] = None,
-                          use_pallas: Optional[bool] = None) -> jnp.ndarray:
+                          use_pallas: Optional[bool] = None,
+                          out_dtype=jnp.float32) -> jnp.ndarray:
     """Full device-side rasterization of a song's channels.
 
     ``note_arrays``: list of (channel NoteArray) pairs already merged per
@@ -167,14 +178,14 @@ def device_rasterize_song(rasterizer: Rasterizer, note_arrays, pitched: bool,
     dn = concat_and_pad(parts)
     n_rows = n_channels * n_bars * T * F10
 
-    flat = _rasterize_flat(dn, n_rows, n_notes, n_feat, use_pallas)
+    flat = _rasterize_flat(dn, n_rows, n_notes, n_feat, use_pallas, out_dtype)
     return flat.reshape(n_channels, n_bars, T, F10, n_notes, n_feat)
 
 
 def device_rasterize_batch(rasterizers, note_arrays_per_song, pitched: bool,
                            n_channels: int, n_bars: int,
-                           valid_bars, use_pallas: Optional[bool] = None
-                           ) -> jnp.ndarray:
+                           valid_bars, use_pallas: Optional[bool] = None,
+                           out_dtype=jnp.float32) -> jnp.ndarray:
     """Batched device rasterization: B songs' channels in ONE scatter dispatch.
 
     Each song keeps its own Rasterizer (its own tick grid / scale); batch index
@@ -201,12 +212,13 @@ def device_rasterize_batch(rasterizers, note_arrays_per_song, pitched: bool,
     dn = concat_and_pad(parts)
     n_rows = B * n_channels * n_bars * T * F10
 
-    flat = _rasterize_flat(dn, n_rows, n_notes, n_feat, use_pallas)
+    flat = _rasterize_flat(dn, n_rows, n_notes, n_feat, use_pallas, out_dtype)
     return flat.reshape(B, n_channels, n_bars, T, F10, n_notes, n_feat)
 
 
 def _rasterize_flat(dn, n_rows: int, n_notes: int, n_feat: int,
-                    use_pallas: Optional[bool]) -> jnp.ndarray:
+                    use_pallas: Optional[bool],
+                    out_dtype=jnp.float32) -> jnp.ndarray:
     """Route to the Pallas kernel (TPU, note count within its VMEM budget) or
     the bit-identical jnp scatter path. The Pallas kernel's (n, 1) VMEM note
     blocks lane-pad 128x (Mosaic supports dynamic indexing only on sublanes),
@@ -218,18 +230,20 @@ def _rasterize_flat(dn, n_rows: int, n_notes: int, n_feat: int,
         use_pallas = (jax.default_backend() not in ("cpu",)
                       and dn.row.shape[0] <= MAX_PALLAS_NOTES)
     if use_pallas:
-        return pallas_rasterize(dn, n_rows, n_notes, n_feat)
+        return pallas_rasterize(dn, n_rows, n_notes, n_feat,
+                                out_dtype=out_dtype)
     return _jit_segment(dn.row, dn.note_idx, dn.acc, dn.duration,
-                        dn.velocity, dn.valid, n_rows, n_notes, n_feat)
+                        dn.velocity, dn.valid, n_rows, n_notes, n_feat,
+                        jnp.dtype(out_dtype))
 
 
 from functools import partial
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def _jit_segment(row, note_idx, acc, duration, velocity, valid,
-                 n_rows, n_notes, n_feat):
+                 n_rows, n_notes, n_feat, out_dtype=jnp.float32):
     return segment_rasterize(
         jnp.asarray(row), jnp.asarray(note_idx), jnp.asarray(acc),
         jnp.asarray(duration), jnp.asarray(velocity), jnp.asarray(valid),
-        n_rows, n_notes, n_feat)
+        n_rows, n_notes, n_feat, out_dtype)

@@ -71,6 +71,9 @@ def _kernel(bounds_ref, rows_ref, lane0_ref, accl_ref, dur_ref, vel_ref,
         vec = jnp.where(lane == l0, d,
                         jnp.where(lane == l0 + 1, v,
                                   jnp.where(lane == la, 1.0, neg)))
+        # cast before the max: round-to-nearest is monotone, so this equals
+        # an fp32 scatter followed by a cast (see segment_rasterize)
+        vec = vec.astype(out_ref.dtype)
         cur = out_ref[pl.ds(row, 1), :]
         out_ref[pl.ds(row, 1), :] = jnp.maximum(cur, vec)
         return 0
@@ -80,10 +83,10 @@ def _kernel(bounds_ref, rows_ref, lane0_ref, accl_ref, dur_ref, vel_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_rows", "n_notes", "n_feat",
-                                    "interpret"))
+                                    "interpret", "out_dtype"))
 def _pallas_call(bounds, rows, lane0, acc_lane, duration, velocity,
                  n_rows: int, n_notes: int, n_feat: int,
-                 interpret: bool = False):
+                 interpret: bool = False, out_dtype=jnp.float32):
     lanes = _round_up(n_notes * n_feat, 128)
     padded_rows = _round_up(max(n_rows, 1), ROW_CHUNK)
     n_chunks = padded_rows // ROW_CHUNK
@@ -101,7 +104,8 @@ def _pallas_call(bounds, rows, lane0, acc_lane, duration, velocity,
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((padded_rows, lanes), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((padded_rows, lanes),
+                                       jnp.dtype(out_dtype)),
         interpret=interpret,
     )(bounds, rows.reshape(-1, 1), lane0.reshape(-1, 1),
       acc_lane.reshape(-1, 1), duration.reshape(-1, 1),
@@ -110,9 +114,11 @@ def _pallas_call(bounds, rows, lane0, acc_lane, duration, velocity,
 
 
 def pallas_rasterize(device_notes, n_rows: int, n_notes: int, n_feat: int,
-                     interpret: bool = None) -> jnp.ndarray:
+                     interpret: bool = None,
+                     out_dtype=jnp.float32) -> jnp.ndarray:
     """DeviceNotes (sorted by row, sentinel-rowed padding) -> (n_rows,
-    n_notes*n_feat) float32 raster."""
+    n_notes*n_feat) raster at ``out_dtype`` (fp32 default; bfloat16 for the
+    training path's storage dtype — see segment_rasterize)."""
     dn = device_notes
     rows = np.where(dn.valid, dn.row, SENTINEL_ROW).astype(np.int32)
     lane0 = (dn.note_idx * n_feat).astype(np.int32)
@@ -131,4 +137,5 @@ def pallas_rasterize(device_notes, n_rows: int, n_notes: int, n_feat: int,
         jnp.asarray(bounds), jnp.asarray(rows), jnp.asarray(lane0),
         jnp.asarray(acc_lane), jnp.asarray(duration),
         jnp.asarray(velocity), n_rows=n_rows, n_notes=n_notes,
-        n_feat=n_feat, interpret=bool(interpret))
+        n_feat=n_feat, interpret=bool(interpret),
+        out_dtype=jnp.dtype(out_dtype))

@@ -386,8 +386,8 @@ def clamp_bar_bucket(Rb: int, B: int, Cb: int, T: int, budget: int,
 
 def device_batch_from_song(song: Song, max_channels: int, max_bars: int,
                            bar_cap: Optional[int] = None,
-                           use_pallas: Optional[bool] = None
-                           ) -> Optional[Batch]:
+                           use_pallas: Optional[bool] = None,
+                           raster_dtype=None) -> Optional[Batch]:
     """Bucket-padded batch-of-one whose dense rasters are materialized ON
     DEVICE from the song's SoA notes (mst_tpu.ops.device_raster) — per step
     only ~KBs of note records cross host->HBM instead of the padded tensor
@@ -395,20 +395,30 @@ def device_batch_from_song(song: Song, max_channels: int, max_bars: int,
     if song.pitched_empty:
         return None
     return device_batch_from_songs([song], max_channels, max_bars,
-                                   bar_cap=bar_cap, use_pallas=use_pallas)
+                                   bar_cap=bar_cap, use_pallas=use_pallas,
+                                   raster_dtype=raster_dtype)
 
 
 def device_batch_from_songs(songs, max_channels: int, max_bars: int,
                             bar_cap=None, max_uchannels: int = 1,
-                            use_pallas: Optional[bool] = None) -> Batch:
+                            use_pallas: Optional[bool] = None,
+                            raster_dtype=None) -> Batch:
     """Collate N songs into one fixed-shape Batch whose dense rasters are
     materialized ON DEVICE (one scatter dispatch per note family for the whole
     batch) — the data-parallel path ships ~KBs of note records per song
     instead of pad_batch's dense host tensors (tens of MB each) over the
     host->HBM link. Masks/labels identical to pad_batch; songs must share
-    beats-per-bar (the caller groups by time signature)."""
+    beats-per-bar (the caller groups by time signature).
+
+    ``raster_dtype``: scatter the rasters directly at this dtype (pass the
+    config's storage_dtype so a bf16-storage train step never materializes
+    the fp32 raster at all — its in-step cast_storage becomes a no-op).
+    None keeps float32."""
     from mst_tpu.ops.device_raster import device_rasterize_batch
     from mst_tpu.ops.rasterize import Rasterizer
+
+    if raster_dtype is None:
+        raster_dtype = jnp.float32
 
     B = len(songs)
     if bar_cap is None or isinstance(bar_cap, int):
@@ -428,14 +438,16 @@ def device_batch_from_songs(songs, max_channels: int, max_bars: int,
     pitched = device_rasterize_batch(
         rasterizers, [s.pitched_notes[:c] for s, c in
                       zip(songs, channel_counts)],
-        True, max_channels, max_bars, valid_bars, use_pallas=use_pallas)
+        True, max_channels, max_bars, valid_bars, use_pallas=use_pallas,
+        out_dtype=raster_dtype)
     has_u = [s.has_unpitched for s in songs]
     unpitched = None
     if any(has_u):
         unpitched = device_rasterize_batch(
             rasterizers, [(s.unpitched_notes[:max_uchannels] if h else [])
                           for s, h in zip(songs, has_u)],
-            False, max_uchannels, max_bars, valid_bars, use_pallas=use_pallas)
+            False, max_uchannels, max_bars, valid_bars, use_pallas=use_pallas,
+            out_dtype=raster_dtype)
 
     instf = np.zeros((B, max_channels, 51), np.float32)
     cmask = np.zeros((B, max_channels), np.float32)

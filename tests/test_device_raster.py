@@ -103,3 +103,23 @@ def test_packed_output_bit_exact_vs_float_path():
         np.testing.assert_array_equal(
             (m_float.velocity * 127).astype(np.int64),
             (m_packed.velocity * 127).astype(np.int64))
+
+
+def test_bf16_scatter_equals_fp32_scatter_then_cast(example_midis):
+    """Scattering at bfloat16 == fp32 scatter followed by a cast, bit for bit
+    (round-to-nearest is monotone, so rounding commutes with max) — on both
+    the jnp scatter path and the Pallas kernel (interpret mode on CPU)."""
+    song = _song(example_midis)
+    r = Rasterizer(song.info)
+    C = len(song.pitched_notes)
+    for use_pallas in (False, True):
+        fp32 = device_rasterize_song(r, song.pitched_notes, True,
+                                     n_channels=C, use_pallas=use_pallas)
+        bf16 = device_rasterize_song(r, song.pitched_notes, True,
+                                     n_channels=C, use_pallas=use_pallas,
+                                     out_dtype=jnp.bfloat16)
+        assert bf16.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(bf16).astype(np.float32),
+            np.asarray(fp32.astype(jnp.bfloat16)).astype(np.float32),
+            err_msg=f"use_pallas={use_pallas}")

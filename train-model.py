@@ -261,8 +261,11 @@ def main():
                 else:
                     batch = pad_batch(songs_flat, Cb, Rb, bar_cap=caps)
             else:
-                batch = device_batch_from_songs(songs_flat, Cb, Rb,
-                                                bar_cap=caps)
+                # scatter the rasters straight at the storage dtype: a bf16
+                # train step then never reads/writes an fp32 raster at all
+                batch = device_batch_from_songs(
+                    songs_flat, Cb, Rb, bar_cap=caps,
+                    raster_dtype=config.model.storage_dtype)
             if mesh is not None:
                 from mst_tpu.parallel import shard_batch
                 batch = shard_batch(batch, mesh, seq=args.seq_parallel > 1)
