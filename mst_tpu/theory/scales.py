@@ -184,7 +184,19 @@ def scale_scores(keys_dist, xp=np):
     not — it is renormalized here exactly like style/data.py:80-83 +
     style/utils/math.py). Works with numpy or jax.numpy via ``xp``.
     """
-    keys_dist = xp.asarray(keys_dist, dtype=xp.float64 if xp is np else None)
+    if xp is np:
+        dtype = np.float64
+    else:
+        # jnp: float64 exists only under jax_enable_x64; request it when
+        # available, otherwise score in an EXPLICIT float32 (not weak-dtype
+        # luck). fp32 carries ~1e-7 relative error through the log/products,
+        # so the batched argmin can in principle flip vs the float64 numpy
+        # detector only on songs whose best two candidates are closer than
+        # that — tests/test_theory.py pins np-vs-jnp agreement over every
+        # bundled example across all 12 transpositions.
+        import jax
+        dtype = xp.float64 if jax.config.jax_enable_x64 else xp.float32
+    keys_dist = xp.asarray(keys_dist, dtype=dtype)
     total = keys_dist.sum(axis=-1, keepdims=True)
     keys_dist = xp.where(total > 0, keys_dist / xp.where(total > 0, total, 1.0),
                          1.0 / keys_dist.shape[-1])
