@@ -34,8 +34,22 @@ Prints one JSON line per metric: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import statistics
 import sys
 import time
+
+
+def spread(per_run_values):
+    """Dispersion of the per-run samples behind a metric, in the metric's own
+    unit. The headline `value` stays best-of-N (the transport to the
+    remote-attached chip has high one-sided variance, so the min-time run is
+    the standard robust estimator), and this records how far the other runs
+    landed from it — a regression is only real if it clears this spread
+    (VERDICT r03: point estimates made a 14% move unattributable)."""
+    vals = sorted(float(v) for v in per_run_values)
+    return {"median": round(statistics.median(vals), 4),
+            "min": round(vals[0], 4), "max": round(vals[-1], 4),
+            "n": len(vals)}
 
 _EX = "/root/reference/examples/style transfer - midi"
 COMPOSITIONS = [
@@ -126,7 +140,8 @@ def bench_transfer(bundle):
     flops_per_song = replay_log_flops(bundle._raw, bundle.call_log) \
         / n_runs / len(COMPOSITIONS)
     bundle.call_log = None
-    return 1.0 / per_song, per_song, flops_per_song
+    rates = [len(COMPOSITIONS) / t for t in times]
+    return 1.0 / per_song, per_song, flops_per_song, spread(rates)
 
 
 def bench_ingestion(n_songs=64):
@@ -154,11 +169,13 @@ def bench_ingestion(n_songs=64):
     files = sorted(glob.glob(os.path.join(out, "*.mid")))
     with ThreadPoolExecutor(max_workers=8) as pool:  # warmup (imports, JIT-
         list(pool.map(get_model_input, files[:8]))   # free, but page caches)
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        songs = list(pool.map(get_model_input, files))
-    dt = time.perf_counter() - t0
-    assert all(s is not None for s in songs)
+    cold_rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            songs = list(pool.map(get_model_input, files))
+        cold_rates.append(len(files) / (time.perf_counter() - t0))
+        assert all(s is not None for s in songs)
 
     # steady-state epochs on the TRAIN pipeline: with the cross-epoch
     # SongCache (data/cache.py) every epoch after the first replays slim
@@ -178,11 +195,14 @@ def bench_ingestion(n_songs=64):
         raise RuntimeError("bench ingestion corpus yielded no usable songs")
     it = iter_inputs(files, shuffle=True, looped=True,
                      rng=np.random.default_rng(0), cache=cache)
-    t0 = time.perf_counter()
-    for _ in range(2 * n_good):  # two pure-warm epochs
-        next(it)
-    warm = 2 * n_good / (time.perf_counter() - t0)
-    return len(files) / dt, warm
+    warm_rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(2 * n_good):  # two pure-warm epochs per block
+            next(it)
+        warm_rates.append(2 * n_good / (time.perf_counter() - t0))
+    return (max(cold_rates), spread(cold_rates),
+            max(warm_rates), spread(warm_rates))
 
 
 def bench_single_song(bundle):
@@ -202,7 +222,7 @@ def bench_single_song(bundle):
         t0 = time.perf_counter()
         run(f"/tmp/bench_single_{i}")
         times.append(time.perf_counter() - t0)
-    return min(times)
+    return min(times), spread(times)
 
 
 def bench_train_step(bundle):
@@ -227,13 +247,14 @@ def bench_train_step(bundle):
         state, _ = step(state, batch)
     # best-of-blocks: per-dispatch rate rides the tunnel round-trip, which
     # drifts run to run; the best 10-step block is the robust steady state
-    steps_per_sec = 0.0
+    block_rates = []
     for _ in range(4):
         n = 10
         t0 = time.perf_counter()
         for _ in range(n):
             state, losses = step(state, batch)
-        steps_per_sec = max(steps_per_sec, n / (time.perf_counter() - t0))
+        block_rates.append(n / (time.perf_counter() - t0))
+    steps_per_sec = max(block_rates)
 
     # analytic matmul FLOPs of the whole step (fwd + bwd + Adam), traced
     # from the exact program benched above (runtime.flops walks the jaxpr)
@@ -242,7 +263,8 @@ def bench_train_step(bundle):
                                has_unpitched=batch.unpitched is not None,
                                fetch_losses=False)
     flops_per_step = count_matmul_flops(raw_step, state, batch)
-    return steps_per_sec, flops_per_step, config.model.compute_dtype
+    return (steps_per_sec, flops_per_step, config.model.compute_dtype,
+            spread(block_rates))
 
 
 def bench_train_scan(bundle, k: int = 8):
@@ -273,15 +295,15 @@ def bench_train_scan(bundle, k: int = 8):
     for _ in range(2):  # compile + warmup
         state, vec = multi(state, kbatch)
     np.asarray(vec)
-    best = 0.0
+    block_rates = []
     for _ in range(3):  # best-of-blocks (tunnel round-trip drifts)
         n = 5
         t0 = time.perf_counter()
         for _ in range(n):
             state, vec = multi(state, kbatch)
             np.asarray(vec)  # the real loop's per-dispatch loss fetch
-        best = max(best, (n * k) / (time.perf_counter() - t0))
-    return best
+        block_rates.append((n * k) / (time.perf_counter() - t0))
+    return max(block_rates), spread(block_rates)
 
 
 def main():
@@ -293,17 +315,21 @@ def main():
 
     bundle = load_bundle()
 
-    songs_per_sec, sec_per_song, t_flops_per_song = bench_transfer(bundle)
-    single_latency = bench_single_song(bundle)
-    ingest_songs_per_sec, warm_replay_per_sec = bench_ingestion()
-    steps_per_sec, flops_per_step, dtype = bench_train_step(bundle)
+    (songs_per_sec, sec_per_song, t_flops_per_song,
+     transfer_spread) = bench_transfer(bundle)
+    single_latency, single_spread = bench_single_song(bundle)
+    (ingest_songs_per_sec, ingest_spread,
+     warm_replay_per_sec, warm_spread) = bench_ingestion()
+    steps_per_sec, flops_per_step, dtype, step_spread = \
+        bench_train_step(bundle)
     scan_k = 16
-    scan_steps_per_sec = bench_train_scan(bundle, k=scan_k)
+    scan_steps_per_sec, scan_spread = bench_train_scan(bundle, k=scan_k)
 
     print(json.dumps({
         "metric": "host_ingestion",
         "value": round(ingest_songs_per_sec, 4),
         "unit": "songs/sec",
+        "spread": ingest_spread,
         # anchored to the transfer north star: ingestion must never be the
         # <1 s/song pipeline's bottleneck
         "vs_baseline": round(ingest_songs_per_sec / TARGET_SONGS_PER_SEC, 4),
@@ -317,6 +343,7 @@ def main():
         "metric": "cached_epoch_replay",
         "value": round(warm_replay_per_sec, 1),
         "unit": "songs/sec",
+        "spread": warm_spread,
         "vs_baseline": round(warm_replay_per_sec / ingest_songs_per_sec, 1),
         "baseline": "cold-ingestion (reference re-parses every epoch)",
     }))
@@ -354,6 +381,7 @@ def main():
         "metric": "train_step",
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec/chip",
+        "spread": step_spread,
         "storage_dtype": "bfloat16",
         "vs_baseline": round(steps_per_sec / TARGET_TRAIN_STEPS_PER_SEC, 4),
         "baseline": "north-star-target",
@@ -362,6 +390,7 @@ def main():
         "metric": "train_step_scan",
         "value": round(scan_steps_per_sec, 4),
         "unit": "steps/sec/chip",
+        "spread": scan_spread,
         "steps_per_dispatch": scan_k,
         "storage_dtype": "bfloat16",
         "vs_baseline": round(scan_steps_per_sec / TARGET_TRAIN_STEPS_PER_SEC,
@@ -373,6 +402,7 @@ def main():
         "metric": "single_song_transfer_latency",
         "value": round(single_latency, 4),
         "unit": "sec/song",
+        "spread": single_spread,
         # north star: <1 s per full song — vs_baseline > 1 means faster
         "vs_baseline": round(1.0 / (single_latency *
                                     TARGET_SONGS_PER_SEC), 4),
@@ -382,6 +412,7 @@ def main():
         "metric": "midi_to_styled_midi_full_pipeline",
         "value": round(songs_per_sec, 4),
         "unit": "songs/sec/chip",
+        "spread": transfer_spread,
         "vs_baseline": round(songs_per_sec / TARGET_SONGS_PER_SEC, 4),
         "baseline": "north-star-target",
     }))

@@ -52,12 +52,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(bounds_ref, rows_ref, lane0_ref, accl_ref, dur_ref, vel_ref,
-            out_ref):
+            out_ref, acc_ref):
     j = pl.program_id(0)
-    out_ref[:] = jnp.zeros_like(out_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
     start = bounds_ref[j]
     end = bounds_ref[j + 1]
-    lanes = out_ref.shape[1]
+    lanes = acc_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     base = j * ROW_CHUNK
     neg = jnp.float32(-jnp.inf)
@@ -71,14 +71,17 @@ def _kernel(bounds_ref, rows_ref, lane0_ref, accl_ref, dur_ref, vel_ref,
         vec = jnp.where(lane == l0, d,
                         jnp.where(lane == l0 + 1, v,
                                   jnp.where(lane == la, 1.0, neg)))
-        # cast before the max: round-to-nearest is monotone, so this equals
-        # an fp32 scatter followed by a cast (see segment_rasterize)
-        vec = vec.astype(out_ref.dtype)
-        cur = out_ref[pl.ds(row, 1), :]
-        out_ref[pl.ds(row, 1), :] = jnp.maximum(cur, vec)
+        cur = acc_ref[pl.ds(row, 1), :]
+        acc_ref[pl.ds(row, 1), :] = jnp.maximum(cur, vec)
         return 0
 
     jax.lax.fori_loop(start, end, body, 0)
+    # accumulate in an fp32 VMEM scratch and cast ONCE on the full-block
+    # write: Mosaic rejects dynamic sublane stores into a bf16 block (it
+    # cannot prove the 8-sublane alignment a packed dtype needs), and
+    # fp32-max-then-cast is exactly the semantics segment_rasterize proves
+    # equal to casting before the max
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -100,6 +103,7 @@ def _pallas_call(bounds, rows, lane0, acc_lane, duration, velocity,
         in_specs=[note_spec] * 5,
         out_specs=pl.BlockSpec((ROW_CHUNK, lanes), lambda j, b: (j, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((ROW_CHUNK, lanes), jnp.float32)],
     )
     out = pl.pallas_call(
         _kernel,
