@@ -32,6 +32,37 @@ PROGRESSIONS = [
     [0, 3, 4, 0], [0, 5, 3, 4], [0, 4, 5, 3], [5, 3, 0, 4],
     [0, 3, 0, 4], [0, 1, 4, 0], [0, 5, 1, 4],
 ]
+
+# rhythm templates: onset positions (in beats) within one bar, per grid kind.
+# A SHARED library (not per-song randomness) so rhythmic structure repeats
+# across the corpus — learnable regularity rather than incompressible noise.
+RHYTHM_TEMPLATES_8TH = [
+    [0, 0.5, 1, 1.5, 2, 2.5, 3, 3.5],
+    [0, 1, 1.5, 2, 3, 3.5],
+    [0, 0.5, 1, 2, 2.5, 3],
+    [0, 1.5, 2, 3.5],
+    [0, 0.5, 1.5, 2.5, 3],
+    [0, 1, 2, 3],
+]
+RHYTHM_TEMPLATES_TRIPLET = [
+    [0, 2.0 / 3, 4.0 / 3, 2, 8.0 / 3, 10.0 / 3],
+    [0, 4.0 / 3, 2, 10.0 / 3],
+    [0, 2.0 / 3, 2, 8.0 / 3],
+]
+# melodic contours as chord-tone offsets: 0/2/4 are chord tones (root, third,
+# fifth above the current chord degree), odd values passing tones. Strong
+# positions (template index 0 and midpoints) land on chord tones.
+CONTOURS = [
+    [0, 2, 4, 2, 0, 2, 4, 7],
+    [4, 2, 0, 2, 4, 5, 4, 2],
+    [0, 1, 2, 3, 4, 3, 2, 1],
+    [7, 4, 2, 0, 2, 4, 2, 0],
+    [0, 2, 4, 5, 7, 5, 4, 2],
+    [4, 3, 2, 1, 0, 2, 4, 4],
+]
+# phrase structure for melody motifs: AABA
+PHRASE = [0, 0, 1, 0]
+
 # drum notes: kick, snare, closed hat, open hat, crash
 KICK, SNARE, HAT, OHAT, CRASH = 36, 38, 42, 46, 49
 
@@ -74,8 +105,17 @@ def generate_song(rng: np.random.Generator):
     base_octave = 5  # MIDI C4=60 region
 
     def chord_pitches(degree, octave):
-        return [scale[(degree + k) % 7] + 12 * (octave + (degree + k) // 7)
-                for k in (0, 2, 4)]
+        out = []
+        for k in (0, 2, 4):
+            p = scale[(degree + k) % 7] + 12 * (octave + (degree + k) // 7)
+            # harmonic minor: the V chord carries the raised leading tone
+            # (E-G#-B in A minor) — this is what breaks the natural-minor /
+            # relative-major pitch-class tie for the key detector, exactly
+            # like real minor-mode writing does
+            if minor and degree % 7 == 4 and k == 2:
+                p += 1
+            out.append(p)
+        return out
 
     # one-bar lead-in: the TS/tempo meta events live at tick 0, and a
     # non-4/4 time signature coinciding with the first note would be
@@ -92,24 +132,40 @@ def generate_song(rng: np.random.Generator):
         role = roles[ci] if ci < len(roles) else "arp"
         notes = []
         swing = rng.random() < 0.25  # triplet-grid songs exercise divisor 3
+        if role == "melody":
+            templates = (RHYTHM_TEMPLATES_TRIPLET if swing
+                         else RHYTHM_TEMPLATES_8TH)
+            motifs = []
+            for _ in range(2):  # the song's A and B motifs
+                steps = templates[rng.integers(0, len(templates))]
+                contour = CONTOURS[rng.integers(0, len(CONTOURS))]
+                motifs.append({"steps": steps,
+                               "contour": contour[:len(steps)],
+                               "dur": 2.0 / 3 if swing else 0.5})
         for bar in range(n_bars):
             t_bar = lead + bar * numer
             degree = progression[bar % len(progression)]
             if role == "melody":
-                steps = ([0, 2.0 / 3, 4.0 / 3, 2, 8.0 / 3, 10.0 / 3]
-                         if swing else
-                         [k * 0.5 for k in range(numer * 2)])
-                cur = degree
-                for s in steps:
+                # motif-structured melody (learnable, NOT a random walk):
+                # the song's 2 motifs repeat in an AABA phrase pattern,
+                # anchored to the current chord degree, with chord-tone
+                # contours and rare (10%) single-degree variations
+                motif = motifs[PHRASE[bar % len(PHRASE)]]
+                dur = motif["dur"]
+                for s, off in zip(motif["steps"], motif["contour"]):
                     if s >= numer:
                         continue
-                    if rng.random() < 0.3:
-                        continue  # rests
-                    cur = (cur + int(rng.integers(-2, 3))) % 14
-                    pitch = (scale[cur % 7] + 12 * (base_octave + cur // 7))
-                    dur = 0.5 if not swing else 2.0 / 3
+                    if rng.random() < 0.1:  # occasional variation
+                        off += int(rng.integers(-1, 2))
+                    deg = degree + off
+                    pitch = (scale[deg % 7]
+                             + 12 * (base_octave + deg // 7))
+                    # melodic leading tone over the V chord in minor
+                    if minor and degree % 7 == 4 and deg % 7 == 6:
+                        pitch += 1
+                    accent = 0.15 if s == int(s) else 0.0
                     notes.append((t_bar + s, dur, pitch,
-                                  0.45 + 0.4 * rng.random()))
+                                  0.5 + accent + 0.15 * rng.random()))
             elif role == "chords":
                 for k, pitch in enumerate(chord_pitches(degree,
                                                         base_octave - 1)):
