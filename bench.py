@@ -154,9 +154,8 @@ def bench_ingestion(n_songs=64):
     import shutil
     import subprocess
     import sys as _sys
-    from concurrent.futures import ThreadPoolExecutor
 
-    from mst_tpu.transfer import get_model_input
+    from mst_tpu.transfer import get_model_input, ingest_map
 
     out = "/tmp/bench_ingest_corpus"
     shutil.rmtree(out, ignore_errors=True)
@@ -167,13 +166,11 @@ def bench_ingestion(n_songs=64):
          "--out", out, "--n", str(n_songs), "--seed", "12345"],
         check=True, capture_output=True)
     files = sorted(glob.glob(os.path.join(out, "*.mid")))
-    with ThreadPoolExecutor(max_workers=8) as pool:  # warmup (imports, JIT-
-        list(pool.map(get_model_input, files[:8]))   # free, but page caches)
+    ingest_map(get_model_input, files[:8])  # warmup (imports, page caches)
     cold_rates = []
     for _ in range(3):
         t0 = time.perf_counter()
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            songs = list(pool.map(get_model_input, files))
+        songs = ingest_map(get_model_input, files)  # transfer's ingest path
         cold_rates.append(len(files) / (time.perf_counter() - t0))
         assert all(s is not None for s in songs)
 

@@ -135,6 +135,28 @@ def _rasterize_channels(rasterizer: Rasterizer, channels: List[NoteArray],
     return out
 
 
+def _raster_has_mass(rasterizer: Rasterizer, channels: List[NoteArray],
+                     pitched: bool) -> bool:
+    """Whether the dense raster of these channels would contain a nonzero
+    cell — computed at quantize level WITHOUT materializing it. Exactly
+    equivalent to ``_rasterize_channels(...).sum() > 0``: the scatter is a
+    max into a zero base, so cells are nonnegative, and a valid pitched note
+    always writes its accidental one-hot 1.0 while a valid unpitched note
+    contributes iff its duration or velocity is positive
+    (ops/rasterize.py:129-142; tested in tests/test_data.py)."""
+    n_notes = rasterizer.n_notes(pitched)
+    n_bars_cap = rasterizer.raster_shape(pitched)[0]
+    for notes in channels:
+        q = rasterizer.quantize(notes, pitched)
+        valid = ((q.note_idx >= 0) & (q.note_idx < n_notes)
+                 & (q.bar >= 0) & (q.bar < n_bars_cap))
+        if not pitched:
+            valid &= (q.duration > 0) | (q.velocity > 0)
+        if valid.any():
+            return True
+    return False
+
+
 def _iter_file_attempts(files: Sequence, shuffle: bool = False,
                         looped: bool = False,
                         rng: Optional[np.random.Generator] = None,
@@ -280,19 +302,18 @@ def get_input(channels: List[dict], info: SongInfo) -> Song:
     rasterizer = Rasterizer(info)
     pitched_shape = ((len(pitched_channels),)
                      + rasterizer.raster_shape(True))
-    pitched = _rasterize_channels(
-        rasterizer, [n for _, n in pitched_channels], True, pitched_shape)
-    unpitched = None
     unpitched_shape = None
     if unpitched_channels:
         unpitched_shape = ((len(unpitched_channels),)
                            + rasterizer.raster_shape(False))
-        unpitched = _rasterize_channels(
-            rasterizer, [n for _, n in unpitched_channels], False,
-            unpitched_shape)
 
     instruments = [i for i, _ in pitched_channels]
     instruments_features = encode_instruments(instruments).astype(np.float32)
+    # the dense host rasters stay LAZY (Song.pitched/.unpitched rebuild them
+    # on first access): the hot consumers — training's device_batch_from_songs
+    # and transfer's extraction — rasterize ON DEVICE from the SoA notes, so
+    # cold ingestion only pays quantize-level emptiness checks here (~45% of
+    # ingestion wall time was dense rasters nobody read)
     return Song(info=info,
                 instruments_features=instruments_features,
                 instruments=instruments,
@@ -300,10 +321,10 @@ def get_input(channels: List[dict], info: SongInfo) -> Song:
                 unpitched_notes=[n for _, n in unpitched_channels],
                 pitched_shape=pitched_shape,
                 unpitched_shape=unpitched_shape,
-                pitched_empty=bool(pitched.sum() == 0),
-                has_unpitched=bool(unpitched is not None
-                                   and unpitched.sum() > 0),
-                dense_pitched=pitched, dense_unpitched=unpitched)
+                pitched_empty=not _raster_has_mass(
+                    rasterizer, [n for _, n in pitched_channels], True),
+                has_unpitched=bool(unpitched_channels) and _raster_has_mass(
+                    rasterizer, [n for _, n in unpitched_channels], False))
 
 
 def prepare_input(song: Song, max_n_bars: Optional[int] = None):

@@ -210,14 +210,20 @@ def _raster_extract_latents(model, params, p_notes, u_notes, mode, bpm, instf,
     for a batch of B songs — the traced body of ModelBundle.fn("raster_extract")
     and the extraction stage of the fully-fused transfer program."""
     from mst_tpu.ops.device_raster import segment_rasterize
+    from mst_tpu.ops.precision import storage_dtype
 
+    # scatter the rasters straight at the active storage dtype: under a bf16
+    # extraction policy the (B,Cb,Rb,T,10,56,5) buffer lands in HBM at half
+    # width (bit-identical to fp32-scatter-then-cast; see segment_rasterize)
     n_rows_p = B * Cb * Rb * T * 10
-    flat_p = segment_rasterize(*p_notes, n_rows_p, 56, 5)
+    flat_p = segment_rasterize(*p_notes, n_rows_p, 56, 5,
+                               out_dtype=storage_dtype())
     pitched = flat_p.reshape(B, Cb, Rb, T, 10, 56, 5)
     unpitched = None
     if has_unpitched:
         n_rows_u = B * Rb * T * 10
-        flat_u = segment_rasterize(*u_notes, n_rows_u, 47, 2)
+        flat_u = segment_rasterize(*u_notes, n_rows_u, 47, 2,
+                                   out_dtype=storage_dtype())
         unpitched = flat_u.reshape(B, 1, Rb, T, 10, 47, 2)
     return model.apply(
         params, mode, bpm, pitched, instf, unpitched,
@@ -229,7 +235,8 @@ def _raster_extract_latents(model, params, p_notes, u_notes, mode, bpm, instf,
 def _fused_transfer_full(model, feature_table, params, extract_args,
                          style_idx, comp_idx, n_instruments, bar_lengths,
                          tpb, *, B, Cb, Rb, T, has_unpitched, capacity,
-                         max_channels, dense_compaction=False):
+                         max_channels, dense_compaction=False,
+                         extract_storage=None):
     """The WHOLE transfer device side as ONE program: on-device rasterization
     + latent extraction of the B ingested songs, then the batched style
     application of every job (_fused_transfer_apply) on the just-computed
@@ -237,9 +244,14 @@ def _fused_transfer_full(model, feature_table, params, extract_args,
     exactly one jit dispatch + one fetch total — on a remote-attached chip
     the per-dispatch transport round-trip dominates single-request latency,
     and real serving deployments see the same effect at smaller scale."""
-    style, melody, rhythm = _raster_extract_latents(
-        model, params, *extract_args, B=B, Cb=Cb, Rb=Rb, T=T,
-        has_unpitched=has_unpitched)
+    # the extraction stage may run at a narrower activation storage dtype
+    # (extract_storage); the apply stage below always traces at fp32 storage,
+    # keeping the packed wire formats byte-identical to the proven path
+    from mst_tpu.ops.precision import compute_dtype, precision
+    with precision(compute_dtype(), storage=extract_storage):
+        style, melody, rhythm = _raster_extract_latents(
+            model, params, *extract_args, B=B, Cb=Cb, Rb=Rb, T=T,
+            has_unpitched=has_unpitched)
     return _fused_transfer_apply(
         model, feature_table, params, style, melody, rhythm, style_idx,
         comp_idx, n_instruments, bar_lengths, tpb, capacity=capacity,
@@ -352,6 +364,11 @@ class ModelBundle:
     # bench.py replays the log through runtime.flops to account the transfer
     # path's matmul FLOPs (zero overhead when None)
     call_log: Optional[list] = None
+    # activation storage dtype for the EXTRACTION stage only ("bfloat16"
+    # halves the on-device raster + encoder-grid HBM traffic; the apply
+    # stage and its packed wire formats always run at fp32 storage —
+    # tools/ab_extract_storage.py is the measured A/B behind the default)
+    extract_storage_dtype: Optional[str] = None
     _jitted: dict = dataclasses.field(default_factory=dict)
     _raw: dict = dataclasses.field(default_factory=dict)  # key -> pre-jit fn
 
@@ -372,14 +389,16 @@ class ModelBundle:
         spec = P("data", *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(self.mesh, spec))
 
-    def _wrap_precision(self, f):
+    def _wrap_precision(self, f, storage=None):
         """Trace ``f`` under the model config's compute dtype (bf16 matmuls
-        when ModelConfig.compute_dtype="bfloat16"; outputs stay fp32)."""
+        when ModelConfig.compute_dtype="bfloat16"; outputs stay fp32).
+        ``storage``: activation storage dtype override for this program
+        (None keeps fp32 storage)."""
         from mst_tpu.ops.precision import precision
         dtype = self.model.config.compute_dtype
 
         def wrapped(*args, **kwargs):
-            with precision(dtype):
+            with precision(dtype, storage=storage):
                 return f(*args, **kwargs)
         return wrapped
 
@@ -405,7 +424,8 @@ class ModelBundle:
                 raw = functools.partial(_raster_extract_latents, self.model)
                 self._raw[key] = raw
                 self._jitted[key] = jax.jit(
-                    self._wrap_precision(raw),
+                    self._wrap_precision(
+                        raw, storage=self.extract_storage_dtype),
                     static_argnames=("B", "Cb", "Rb", "T", "has_unpitched"))
             elif key.startswith("transfer_fused"):
                 # the whole request in ONE program: extraction AND apply
@@ -415,7 +435,8 @@ class ModelBundle:
                 raw = functools.partial(
                     _fused_transfer_full, self.model, table,
                     capacity=int(cap), max_channels=int(cba),
-                    dense_compaction="dense" in rest)
+                    dense_compaction="dense" in rest,
+                    extract_storage=self.extract_storage_dtype)
                 self._raw[key] = raw
                 self._jitted[key] = jax.jit(
                     self._wrap_precision(raw),
@@ -478,6 +499,20 @@ def demo_params(model: StyleTransferModel, seed: int = 0):
     return params
 
 
+def ingest_map(fn, paths):
+    """Map ingestion over paths: threaded when the host has cores to spare
+    (parsing/quantization release the GIL inside numpy and the C++ codec),
+    plain iteration on a single-core host — pool scheduling there measured
+    ~35% SLOWER than a straight loop (60 vs 91 songs/sec), since every
+    submit/result handoff forces a context switch on the one core."""
+    paths = list(paths)
+    if os.cpu_count() <= 1 or len(paths) <= 1:
+        return [fn(p) for p in paths]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(8, len(paths))) as pool:
+        return list(pool.map(fn, paths))
+
+
 def get_model_input(path) -> Optional[Tuple[str, Song]]:
     """Parity: style_transfer.py:57-64."""
     mid = load_midi_from_file(path)
@@ -513,7 +548,7 @@ def extract_style(bundle: ModelBundle, song: Song):
     bucket). Latents at valid cells are identical to the reference's unpadded
     forward (tested). Returns (style, melody, rhythm, real_bar_count)."""
     batch = _extract_group(bundle, [song], song.info.n_beats,
-                           song.unpitched is not None)
+                           song.unpitched_shape is not None)
     return batch.style, batch.melody, batch.rhythm, batch.n_bars[0]
 
 
@@ -526,7 +561,7 @@ def extract_styles(bundle: ModelBundle, songs: Sequence[Song]):
     group_members = []
     locators = [None] * len(songs)
     for i, song in enumerate(songs):
-        key = (song.info.n_beats, song.unpitched is not None)
+        key = (song.info.n_beats, song.unpitched_shape is not None)
         if key not in group_keys:
             group_keys[key] = len(group_members)
             group_members.append([])
@@ -567,8 +602,8 @@ def _extract_inputs(bundle: ModelBundle, songs: Sequence[Song], T: int,
     n_data = bundle.data_axis_size()
     B = -(-B_real // n_data) * n_data
     caps = [1000 // s.n_channels for s in songs]
-    Cs = [s.pitched.shape[0] for s in songs]
-    Rs = [min(s.pitched.shape[1], cap) for s, cap in zip(songs, caps)]
+    Cs = [s.pitched_shape[0] for s in songs]
+    Rs = [min(s.pitched_shape[1], cap) for s, cap in zip(songs, caps)]
     Cb = _bucket(max(Cs), CHANNEL_BUCKETS)
     Rb = _bucket(max(Rs), BAR_BUCKETS)
 
@@ -1003,14 +1038,10 @@ def transfer_styles(bundle: ModelBundle, composition_paths, style_paths,
     of a shape group run as ONE fused device program + one fetch — the
     per-song dispatch overhead of the remote link is amortized across the
     whole workload."""
-    # threaded ingestion: parsing/quantization is numpy + the C++ codec,
-    # which release the GIL for the bulk of the work
-    from concurrent.futures import ThreadPoolExecutor
     all_paths = list(composition_paths) + list(style_paths)
     if not all_paths:
         return []
-    with ThreadPoolExecutor(max_workers=min(8, len(all_paths))) as pool:
-        loaded = list(pool.map(get_model_input, all_paths))
+    loaded = list(ingest_map(get_model_input, all_paths))
     bad = [p for p, s in zip(all_paths, loaded) if s is None]
     if bad:
         raise MidiFormatError(
@@ -1018,7 +1049,7 @@ def transfer_styles(bundle: ModelBundle, composition_paths, style_paths,
     songs = [s for _, s in loaded]
     comps = songs[:len(composition_paths)]
     style_songs = songs[len(composition_paths):]
-    group_keys = {(s.info.n_beats, s.unpitched is not None) for s in songs}
+    group_keys = {(s.info.n_beats, s.unpitched_shape is not None) for s in songs}
     # when every song shares one extraction bucket, the WHOLE request runs as
     # a single device program (extraction + apply, _fused_transfer_full): one
     # dispatch + one fetch total instead of one extraction dispatch plus the

@@ -138,3 +138,35 @@ def test_bad_entry_accounting():
     assert cache.get("x.mid") is SongCache.BAD
     stats = cache.stats()
     assert stats["songs"] == 1 and stats["hits"] == 2
+
+
+def test_lazy_emptiness_flags_match_dense_rasters(example_midis):
+    """get_input no longer materializes the dense host rasters; its
+    quantize-level pitched_empty / has_unpitched flags must equal what the
+    dense computation said (raster sum == 0 / > 0) on every bundled example
+    AND on generated corpus songs."""
+    import glob
+    import subprocess
+    import sys
+
+    from mst_tpu.transfer import get_model_input
+
+    out = "/tmp/lazy_flags_corpus"
+    subprocess.run(
+        [sys.executable, "tools/make_corpus.py", "--out", out,
+         "--n", "6", "--seed", "42"], check=True, capture_output=True)
+    paths = list(example_midis) + sorted(glob.glob(out + "/*.mid"))
+    checked = 0
+    for p in paths:
+        r = get_model_input(p)
+        if r is None:
+            continue
+        _, song = r
+        assert song.dense_pitched is None  # stayed lazy at ingestion
+        assert song.pitched_empty == (song.pitched.sum() == 0), p
+        if song.unpitched_shape is not None:
+            assert song.has_unpitched == (song.unpitched.sum() > 0), p
+        else:
+            assert not song.has_unpitched
+        checked += 1
+    assert checked >= 15
