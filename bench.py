@@ -295,10 +295,18 @@ def bench_train_scan(bundle, k: int = 8):
     block_rates = []
     for _ in range(3):  # best-of-blocks (tunnel round-trip drifts)
         n = 5
+        pending = None
         t0 = time.perf_counter()
         for _ in range(n):
             state, vec = multi(state, kbatch)
-            np.asarray(vec)  # the real loop's per-dispatch loss fetch
+            # the real loop's loss fetch is DEFERRED one dispatch
+            # (train-model.py records the previous dispatch's losses after
+            # enqueuing the next), so the ~25 ms tunnel round-trip overlaps
+            # this dispatch's device compute instead of serializing with it
+            if pending is not None:
+                np.asarray(pending)
+            pending = vec
+        np.asarray(pending)
         block_rates.append((n * k) / (time.perf_counter() - t0))
     return max(block_rates), spread(block_rates)
 

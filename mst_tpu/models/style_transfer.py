@@ -23,7 +23,7 @@ from mst_tpu.models.encoders import (
     MelodyEncoder, PitchedChannelsEncoder, PitchedRhythmEncoder, StyleEncoder,
     UnpitchedChannelsEncoder, UnpitchedRhythmEncoder)
 from mst_tpu.models.song_info import SongInfoModel
-from mst_tpu.ops.shapes import combine_pair
+from mst_tpu.ops.shapes import combine_pair, split_note_features
 
 
 class StyleTransferModel(nn.Module):
@@ -56,7 +56,15 @@ class StyleTransferModel(nn.Module):
                       bar_lengths: Optional[jnp.ndarray] = None,
                       channel_mask: Optional[jnp.ndarray] = None,
                       uchannel_mask: Optional[jnp.ndarray] = None):
-        """Parity: model.py:751-773."""
+        """Parity: model.py:751-773.
+
+        Raster inputs are accepted either as the reference's 7-axis
+        (B, C, bar, beat, frac, note, feat) tensors or NF-fused
+        (B, C, bar, beat, frac, note*feat) — the layout device/host batch
+        builders ship to avoid a standalone relayout (see
+        ops.device_raster.device_rasterize_batch ``fuse_nf``)."""
+        pitched_channels = split_note_features(pitched_channels, 5)
+        unpitched_channels = split_note_features(unpitched_channels, 2)
         pitched_beats, pitched_bars = self.pitched_channels_encoder(
             pitched_channels, instruments_features, bar_lengths, channel_mask)
         pitched_rhythm = self.pitched_rhythm_encoder(

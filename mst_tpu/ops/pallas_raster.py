@@ -21,6 +21,12 @@ indexing on sublanes, so the minor (lane) dim must stay 1 — which VMEM pads
 notes on the v5e) and callers route to the bit-identical jnp scatter path
 (ops.device_raster.segment_rasterize) instead.
 
+Measured head-to-head on the v5e (2026-08, jax.profiler device timeline —
+wall-clock through this container's tunnel measures enqueue, not device):
+at the train bucket (2048-note pad, rows=41280, bf16) this kernel runs in
+0.17 ms vs 0.33 ms for XLA's scatter-max lowering, so it stays the TPU
+default (ops.device_raster._rasterize_flat routes here).
+
 Collision semantics are identical to the host scatter
 (midi_conversion.py:490-516) and to ops.device_raster.segment_rasterize, which
 is the cross-checked reference implementation.
@@ -86,10 +92,11 @@ def _kernel(bounds_ref, rows_ref, lane0_ref, accl_ref, dur_ref, vel_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_rows", "n_notes", "n_feat",
-                                    "interpret", "out_dtype"))
+                                    "interpret", "out_dtype", "out_shape"))
 def _pallas_call(bounds, rows, lane0, acc_lane, duration, velocity,
                  n_rows: int, n_notes: int, n_feat: int,
-                 interpret: bool = False, out_dtype=jnp.float32):
+                 interpret: bool = False, out_dtype=jnp.float32,
+                 out_shape=None):
     lanes = _round_up(n_notes * n_feat, 128)
     padded_rows = _round_up(max(n_rows, 1), ROW_CHUNK)
     n_chunks = padded_rows // ROW_CHUNK
@@ -114,15 +121,17 @@ def _pallas_call(bounds, rows, lane0, acc_lane, duration, velocity,
     )(bounds, rows.reshape(-1, 1), lane0.reshape(-1, 1),
       acc_lane.reshape(-1, 1), duration.reshape(-1, 1),
       velocity.reshape(-1, 1))
-    return out[:n_rows, :n_notes * n_feat]
+    out = out[:n_rows, :n_notes * n_feat]
+    return out if out_shape is None else out.reshape(out_shape)
 
 
 def pallas_rasterize(device_notes, n_rows: int, n_notes: int, n_feat: int,
                      interpret: bool = None,
-                     out_dtype=jnp.float32) -> jnp.ndarray:
+                     out_dtype=jnp.float32, out_shape=None) -> jnp.ndarray:
     """DeviceNotes (sorted by row, sentinel-rowed padding) -> (n_rows,
     n_notes*n_feat) raster at ``out_dtype`` (fp32 default; bfloat16 for the
-    training path's storage dtype — see segment_rasterize)."""
+    training path's storage dtype — see segment_rasterize). ``out_shape``:
+    reshape the result INSIDE the jitted program (see _rasterize_flat)."""
     dn = device_notes
     rows = np.where(dn.valid, dn.row, SENTINEL_ROW).astype(np.int32)
     lane0 = (dn.note_idx * n_feat).astype(np.int32)
@@ -142,4 +151,5 @@ def pallas_rasterize(device_notes, n_rows: int, n_notes: int, n_feat: int,
         jnp.asarray(acc_lane), jnp.asarray(duration),
         jnp.asarray(velocity), n_rows=n_rows, n_notes=n_notes,
         n_feat=n_feat, interpret=bool(interpret),
-        out_dtype=jnp.dtype(out_dtype))
+        out_dtype=jnp.dtype(out_dtype),
+        out_shape=None if out_shape is None else tuple(out_shape))

@@ -26,6 +26,23 @@ def squash_dims(x, dim_begin: int, dim_end: Optional[int] = None):
     return x.reshape(*shape[:dim_begin], merged, *shape[dim_end:])
 
 
+def split_note_features(x, n_feat: int):
+    """NF-fused raster (…, N*F) -> (…, N, F); 7-D input passes through.
+
+    The on-device rasterizer emits its dense output with the (note, feature)
+    axes FUSED into one minor axis: materializing the 7-D (…, N, F) layout as
+    a standalone program costs ~1.8 ms of relayout per raster build on the
+    v5e (the minor-dim-5 tiling), while splitting inside the consuming jit
+    program lets XLA fold the same reshape into the first fusion for free.
+    Model entry points and the loss builder accept either layout through this
+    helper; ``None`` passes through (optional unpitched raster)."""
+    if x is None or x.ndim == 7:
+        return x
+    nf = x.shape[-1]
+    assert nf % n_feat == 0, (x.shape, n_feat)
+    return x.reshape(*x.shape[:-1], nf // n_feat, n_feat)
+
+
 def cat_with_broadcast(tensors: Sequence, axis: int = 0):
     """Broadcast all tensors to the elementwise-max shape (except ``axis``)
     then concatenate (parity: utils/pytorch.py:54-65)."""

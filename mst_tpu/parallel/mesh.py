@@ -49,7 +49,8 @@ def create_mesh(n_data: Optional[int] = None, n_seq: int = 1,
 
 def _batch_spec(batch: Batch, seq: bool = False) -> Batch:
     """PartitionSpec per Batch field: batch axis over ``data``; with ``seq``,
-    the bar axis (dim 2 of the 7-D raster tensors) over ``seq``."""
+    the bar axis (dim 2 of the raster tensors — 7-D or NF-fused 6-D, the bar
+    axis is dim 2 either way) over ``seq``."""
     def spec(x, bar_axis=None):
         if x is None:
             return None

@@ -29,6 +29,7 @@ from mst_tpu.data.pipeline import Song, get_used_instruments
 from mst_tpu.models import StyleTransferModel
 from mst_tpu.ops import precision
 from mst_tpu.ops.losses import LossDict, total_loss
+from mst_tpu.ops.shapes import split_note_features
 
 
 class Batch(NamedTuple):
@@ -115,6 +116,12 @@ def create_train_state(model: StyleTransferModel, config: Config,
 
 def loss_fn(model: StyleTransferModel, params, batch: Batch,
             has_unpitched: bool, mean_type: str = "quadratic") -> LossDict:
+    # batches built by device_batch_from_songs/pad_batch carry the rasters
+    # NF-fused (see device_rasterize_batch fuse_nf); split inside this traced
+    # program where XLA folds the reshape into the first consumer fusion
+    batch = batch._replace(
+        pitched=split_note_features(batch.pitched, 5),
+        unpitched=split_note_features(batch.unpitched, 2))
     (inst_pred, mode_pred, bpm_pred), x_pitched, x_unpitched = model.apply(
         params, batch.mode, batch.bpm, batch.pitched,
         batch.instruments_features,
@@ -435,11 +442,16 @@ def device_batch_from_songs(songs, max_channels: int, max_bars: int,
         valid_bars.append(R)
         channel_counts.append(min(song.n_channels, max_channels))
 
+    # fuse_nf: the rasters ride in the Batch with (note, feature) fused into
+    # one minor axis — the jitted raster program then emits a free leading-dim
+    # reshape of its (rows, lanes) scatter output instead of the ~1.8 ms
+    # standalone relayout into the 7-axis layout; the step program splits NF
+    # back inside its first fusion (ops.shapes.split_note_features)
     pitched = device_rasterize_batch(
         rasterizers, [s.pitched_notes[:c] for s, c in
                       zip(songs, channel_counts)],
         True, max_channels, max_bars, valid_bars, use_pallas=use_pallas,
-        out_dtype=raster_dtype)
+        out_dtype=raster_dtype, fuse_nf=True)
     has_u = [s.has_unpitched for s in songs]
     unpitched = None
     if any(has_u):
@@ -447,7 +459,7 @@ def device_batch_from_songs(songs, max_channels: int, max_bars: int,
             rasterizers, [(s.unpitched_notes[:max_uchannels] if h else [])
                           for s, h in zip(songs, has_u)],
             False, max_uchannels, max_bars, valid_bars, use_pallas=use_pallas,
-            out_dtype=raster_dtype)
+            out_dtype=raster_dtype, fuse_nf=True)
 
     instf = np.zeros((B, max_channels, 51), np.float32)
     cmask = np.zeros((B, max_channels), np.float32)
@@ -521,10 +533,14 @@ def pad_batch(songs, max_channels: int, max_bars: int,
         used[i] = get_used_instruments(
             song.instruments_features[None, :C],
             song.unpitched is not None and song.unpitched.sum() > 0)[0]
+    # same NF-fused raster convention as device_batch_from_songs (a host-side
+    # numpy reshape is free); consumers split via ops.shapes.split_note_features
     return Batch(
         mode=jnp.asarray(mode), bpm=jnp.asarray(bpm),
-        pitched=jnp.asarray(pitched), instruments_features=jnp.asarray(instf),
-        unpitched=jnp.asarray(unpitched) if any_unpitched else None,
+        pitched=jnp.asarray(pitched.reshape(pitched.shape[:-2] + (-1,))),
+        instruments_features=jnp.asarray(instf),
+        unpitched=(jnp.asarray(unpitched.reshape(
+            unpitched.shape[:-2] + (-1,))) if any_unpitched else None),
         used_instruments=jnp.asarray(used),
         bar_lengths=jnp.asarray(lengths), channel_mask=jnp.asarray(cmask),
         uchannel_mask=jnp.asarray(umask) if any_unpitched else None,
