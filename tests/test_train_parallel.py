@@ -284,3 +284,41 @@ def test_mixed_unpitched_batch_is_finite_and_row_consistent(example_midis):
     state, losses = step(state, batch)
     for name, v in zip(losses._fields, losses):
         assert np.isfinite(v), (name, v)
+
+
+def test_nf_fused_batch_layout_contract(example_midis):
+    """Batches ship rasters NF-fused; split_note_features restores the 7-axis
+    layout bit-exactly, and the fused batch matches a 7-axis rasterization.
+
+    The fused layout exists so the raster program's output needs no
+    standalone relayout (measured 1.8 ms/build on the v5e) — this pins the
+    two layouts to the same bytes so the convention can never drift."""
+    from mst_tpu.data.pipeline import get_input
+    from mst_tpu.io import load_midi_from_file
+    from mst_tpu.ops.device_raster import device_rasterize_batch
+    from mst_tpu.ops.events import read_midi
+    from mst_tpu.ops.rasterize import Rasterizer
+    from mst_tpu.ops.shapes import split_note_features
+    from mst_tpu.runtime.train import device_batch_from_song
+
+    path = [p for p in example_midis if p.name == "Angie.4.mid"][0]
+    channels, info = read_midi(load_midi_from_file(path))
+    song = get_input(channels, info)
+    batch = device_batch_from_song(song, 8, 64, bar_cap=50, use_pallas=False)
+
+    # fused convention: minor axis is note*feat
+    assert batch.pitched.ndim == 6 and batch.pitched.shape[-1] == 56 * 5
+    split = split_note_features(batch.pitched, 5)
+    assert split.shape == batch.pitched.shape[:-1] + (56, 5)
+    # 7-axis passthrough is the identity
+    np.testing.assert_array_equal(np.asarray(split_note_features(split, 5)),
+                                  np.asarray(split))
+    # and the split bytes equal a direct 7-axis rasterization
+    want = device_rasterize_batch(
+        [Rasterizer(song.info)], [song.pitched_notes[:8]], True, 8, 64,
+        [min(song.n_bars, 50)], use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(split), np.asarray(want))
+    if batch.unpitched is not None:
+        assert batch.unpitched.shape[-1] == 47 * 2
+        u = split_note_features(batch.unpitched, 2)
+        assert u.shape == batch.unpitched.shape[:-1] + (47, 2)
