@@ -84,8 +84,18 @@ def _block_capacities(capacity: int) -> Tuple[int, int]:
     """Max nonempty 128-cell blocks the compaction can route at a capacity
     tier (pitched, unpitched). Worst case one note per block needs K =
     capacity, but real rolls cluster; the ladder escalates when the live-block
-    count in the header exceeds these."""
-    return max(capacity // 4, 1024), max(capacity // 16, 1024)
+    count in the header exceeds these.
+
+    Floors raised in round 4 (16384/4096, from 4096/1024): the routing table
+    only sizes in-program transients (live_idx, the block prefix), NOT the
+    fetched buffer, yet an overflow escalates the whole job to the next
+    CAPACITY tier — whose rank-lookup compute and fetch bytes scale with
+    capacity. The bench songs (~4-10k output notes spread over ~16k possible
+    blocks) overflowed 4096 live blocks and paid the 65536 tier for counts
+    that fit 16384; with the floor raised they stay on the small tier
+    (device-profiled: the chunked big-tier lookup was 22% of transfer device
+    time)."""
+    return max(capacity // 4, 16384), max(capacity // 16, 4096)
 
 
 def _device_pick_instruments(logits, n_instruments, max_channels):
