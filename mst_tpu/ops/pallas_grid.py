@@ -61,11 +61,31 @@ _SLOPE = 0.01
 # balance flips; semantics are identical either way.
 _ENABLED = False
 
+# Which jnp formulation carries the tail when the Pallas kernel is off:
+# "checkpoint" (default) = jax.checkpoint autodiff; "vjp" = the hand-written
+# fused backward below. MEASURED on the v5e (K=16 scan trace, bench bucket,
+# bf16 storage): checkpoint's applier bwd = 2.72 ms / 2.23 GB per step;
+# the vjp variant as three barrier-separated single-reduce chains = 3.36 ms
+# / 2.96 GB (rank-9 virtual products defeat the fusion emitters), and a
+# rank-5 relayout of the same chains = 29.6 ms busy (the swapaxes needed to
+# make the reduce axes minor-most materialize as full relayouts). XLA's
+# scheduling of the checkpointed formulation is the best known lowering;
+# the vjp path stays for future compiler generations (flip with
+# set_jnp_tail) and as executable documentation of the negative result.
+_JNP_TAIL = "checkpoint"
+
 
 def set_enabled(enabled: bool) -> None:
     """Trace-time gate: route fused_grid_tail to the jnp path when False."""
     global _ENABLED
     _ENABLED = bool(enabled)
+
+
+def set_jnp_tail(mode: str) -> None:
+    """Select the jnp tail implementation: "vjp" or "checkpoint"."""
+    assert mode in ("vjp", "checkpoint"), mode
+    global _JNP_TAIL
+    _JNP_TAIL = mode
 
 
 def _leaky(x):
@@ -194,21 +214,114 @@ def _tail_t_bwd(static, res, ctT):
 _tail_t.defvjp(_tail_t_fwd, _tail_t_bwd)
 
 
+def _tail_plain(xo, xd, w, rest, scale):
+    """The un-checkpointed forward expression shared by every jnp variant —
+    op-for-op the formulation XLA fuses without materializing the grid."""
+    x1 = _leaky(xo)[..., :, None, :, None]            # (…, O, 1, k, 1)
+    x2 = _leaky(xd)[..., None, :, :, None]            # (…, 1, D, k, 1)
+    grid = _leaky(x1 + x2)                            # (…, O, D, k, 1)
+    y = (grid * w).sum(axis=-2)                       # (…, O, D, F)
+    y = y.reshape(y.shape[:-3] + (-1, y.shape[-1]))
+    sc = jnp.asarray(scale, y.dtype)
+    return jax.nn.sigmoid(y + rest) * sc
+
+
 def _tail_jnp(xo, xd, w, rest, scale):
-    """Reference formulation (models/layers.grid_times_w semantics), used on
-    non-TPU backends and as the equivalence oracle for the kernel."""
-
-    @jax.checkpoint
-    def tail(xo, xd, w, rest):
-        x1 = _leaky(xo)[..., :, None, :, None]        # (…, O, 1, k, 1)
-        x2 = _leaky(xd)[..., None, :, :, None]        # (…, 1, D, k, 1)
-        grid = _leaky(x1 + x2)                        # (…, O, D, k, 1)
-        y = (grid * w).sum(axis=-2)                   # (…, O, D, F)
-        y = y.reshape(y.shape[:-3] + (-1, y.shape[-1]))
-        sc = jnp.asarray(scale, y.dtype)
-        return jax.nn.sigmoid(y + rest) * sc
-
+    """Checkpointed autodiff formulation — the original jnp path, kept as the
+    numerics oracle for the other two."""
+    tail = jax.checkpoint(
+        lambda xo, xd, w, rest: _tail_plain(xo, xd, w, rest, scale))
     return tail(xo, xd, w, rest)
+
+
+def _unbroadcast(ct, shape):
+    """Reduce a cotangent back to a broadcast operand's ``shape``."""
+    if ct.shape == tuple(shape):
+        return ct
+    lead = ct.ndim - len(shape)
+    axes = tuple(range(lead)) + tuple(
+        i + lead for i, d in enumerate(shape) if d == 1 and ct.shape[i + lead] != 1)
+    return ct.sum(axis=axes).reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tail_v(static, xo, xd, w, rest):
+    scale, _, _ = static
+    return _tail_plain(xo, xd, w, rest, scale)
+
+
+def _tail_v_fwd(static, xo, xd, w, rest):
+    scale, _, _ = static
+    out = _tail_plain(xo, xd, w, rest, scale)
+    return out, (xo, xd, w, out)
+
+
+def _tail_v_bwd(static, res, ct):
+    """Each cotangent is its own recompute chain: inputs pass through a
+    per-chain ``optimization_barrier`` (operand orders differ, so CSE cannot
+    merge the chains), and each chain is a pure elementwise→reduce expression
+    XLA fuses into ONE kernel whose grid-scale intermediates live only in
+    registers. ``jax.checkpoint``'s rematerialized grid instead feeds three
+    different reductions from one barrier-guarded subgraph, which XLA
+    schedules by materializing grid-scale buffers to HBM (committed v5e
+    profile: 2.7 ms / 2.2 GB per step for the applier bwd alone); here the
+    backward reads xo/xd/ct and writes the four cotangents — nothing else."""
+    scale, rest_shape, rest_dtype = static
+    xo, xd, w, out = res
+    *lead, O, K = xo.shape
+    D = xd.shape[-2]
+    F = w.shape[-1]
+    n = math.prod(lead) if lead else 1
+    sc = jnp.asarray(scale, jnp.float32)
+    s = out.astype(jnp.float32) / sc
+    ct_y = ct.astype(jnp.float32) * (sc * s * (1.0 - s))     # (…, O*D, F)
+
+    ct_rest = _unbroadcast(ct_y, rest_shape).astype(rest_dtype)
+
+    # Lead dims flatten to n (free reshape of contiguous majors); each chain
+    # is ONE multi-axis reduce over a virtual (n, O, D, K, F) product —
+    # chained reduces would make the (n, O, D, K) intermediate a fusion
+    # boundary and spill grid-scale fp32 to HBM. Variants MEASURED on the
+    # v5e (see _JNP_TAIL note): this structure = 3.36 ms / 2.96 GB applier
+    # bwd; a rank-5 relayout putting each chain's reduce axes minor-most =
+    # 29.6 ms (the swapaxes materialize as relayouts); checkpoint autodiff
+    # = 2.72 ms / 2.23 GB and stays the default.
+    xo3 = xo.reshape(n, O, K)
+    xd3 = xd.reshape(n, D, K)
+    cty = ct_y.reshape(n, O, D, F)
+
+    def grid_prod(xo_, xd_, cty_, for_w):
+        gp = _leaky(xo_)[:, :, None, :] + _leaky(xd_)[:, None, :, :]
+        if for_w:   # d y/d w[k,f] = leaky(gp)[…,k]
+            return _leaky(gp)[..., :, None] * cty_[..., None, :]
+        # d y[…,f]/d gp[…,k] = dleaky(gp) * w[k,f]
+        return _dleaky_mul(gp, 1.0)[..., :, None] * (cty_[..., None, :] * w)
+
+    xo1, xd1, cty1 = jax.lax.optimization_barrier((xo3, xd3, cty))
+    t = grid_prod(xo1, xd1, cty1, False).sum(axis=(-3, -1))  # Σ D,F → (n,O,K)
+    ct_xo = _dleaky_mul(xo1, t).astype(xo.dtype)
+
+    xd2, xo2, cty2 = jax.lax.optimization_barrier((xd3, xo3, cty))
+    t = grid_prod(xo2, xd2, cty2, False).sum(axis=(-4, -1))  # Σ O,F → (n,D,K)
+    ct_xd = _dleaky_mul(xd2, t).astype(xd.dtype)
+
+    cty3, xo4, xd4 = jax.lax.optimization_barrier((cty, xo3, xd3))
+    prod = grid_prod(xo4, xd4, cty3, True)                   # (n, O, D, K, F)
+    ct_w = prod.sum(axis=(0, 1, 2)).astype(w.dtype)
+
+    return (ct_xo.reshape(xo.shape), ct_xd.reshape(xd.shape), ct_w, ct_rest)
+
+
+_tail_v.defvjp(_tail_v_fwd, _tail_v_bwd)
+
+
+def _tail_vjp(xo, xd, w, rest, scale):
+    """jnp tail with the hand-written fused backward above. Forward numerics
+    are op-identical to ``_tail_jnp``; gradients equal autodiff's up to
+    float reassociation (tests/test_fused_tails.py)."""
+    static = (tuple(float(v) for v in scale), tuple(rest.shape),
+              jnp.dtype(rest.dtype).name)
+    return _tail_v(static, xo, xd, w, rest)
 
 
 def fused_grid_tail(xo, xd, w, rest, scale, interpret=None):
@@ -235,6 +348,8 @@ def fused_grid_tail(xo, xd, w, rest, scale, interpret=None):
         # runs (and keeps the half-width HBM buffers end to end).
         if (jax.default_backend() == "cpu" or not _ENABLED
                 or xo.dtype != jnp.float32):
+            if _JNP_TAIL == "vjp":
+                return _tail_vjp(xo, xd, w, rest, scale)
             return _tail_jnp(xo, xd, w, rest, scale)
         interpret = False
 

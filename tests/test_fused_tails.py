@@ -86,3 +86,47 @@ def test_fused_tail_pallas_row_padding():
     g2 = jax.grad(lambda a: (_naive_pitched(*a) ** 2).sum())(args)
     for a, b in zip(g1, g2):
         _assert_close(a, b)
+
+
+def test_vjp_tail_forward_bitwise_vs_checkpoint():
+    """The hand-written-VJP tail's FORWARD is op-identical to the
+    checkpointed path — same expression, so bit-identical outputs."""
+    from mst_tpu.ops.pallas_grid import _tail_jnp, _tail_vjp
+    rng = np.random.default_rng(3)
+    args = _inputs(rng, B=2, C=3, R=4, T=2, F10=5)
+    a = jax.jit(lambda a: _tail_vjp(*a, SCALE))(args)
+    b = jax.jit(lambda a: _tail_jnp(*a, SCALE))(args)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vjp_tail_grad_matches_naive():
+    """The fused backward (per-chain optimization_barrier recompute) equals
+    autodiff of the dense formulation to float32 reassociation tolerance,
+    for every cotangent including the broadcast-reduced ``rest``."""
+    from mst_tpu.ops.pallas_grid import _tail_vjp
+    rng = np.random.default_rng(4)
+    args = _inputs(rng, B=1, C=2, R=3, T=2, F10=2)
+    g1 = jax.grad(lambda a: (_tail_vjp(*a, SCALE) ** 2).sum())(args)
+    g2 = jax.grad(lambda a: (_naive_pitched(*a) ** 2).sum())(args)
+    for a, b in zip(g1, g2):
+        _assert_close(a, b)
+
+
+def test_vjp_tail_bfloat16_storage_dtypes():
+    """Under bf16 activation storage the embeddings arrive bf16: cotangents
+    must come back in the primal dtypes (custom_vjp contract) and track the
+    fp32 gradients to bf16 resolution."""
+    from mst_tpu.ops.pallas_grid import _tail_vjp
+    rng = np.random.default_rng(5)
+    xo, xd, w, rest = _inputs(rng, B=1, C=2, R=3, T=2, F10=2)
+    args16 = (xo.astype(jnp.bfloat16), xd.astype(jnp.bfloat16), w, rest)
+    out = _tail_vjp(*args16, SCALE)
+    g1 = jax.grad(lambda a: (_tail_vjp(*a, SCALE) ** 2).sum())(args16)
+    assert g1[0].dtype == jnp.bfloat16 and g1[1].dtype == jnp.bfloat16
+    assert g1[2].dtype == jnp.float32 and g1[3].dtype == jnp.float32
+    g2 = jax.grad(lambda a: (_naive_pitched(*a) ** 2).sum())((xo, xd, w, rest))
+    for a, b in zip(g1, g2):
+        a, b = np.asarray(a, np.float32), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=0.05,
+                                   atol=0.05 * np.abs(b).max())
+    assert not np.isnan(np.asarray(out, np.float32)).any()
