@@ -327,7 +327,11 @@ def main():
      warm_replay_per_sec, warm_spread) = bench_ingestion()
     steps_per_sec, flops_per_step, dtype, step_spread = \
         bench_train_step(bundle)
-    scan_k = 16
+    # K ladder on the v5e (same bucket, best-of-3 blocks): K=8 ~90, K=16
+    # 106.0, K=32 109.1 steps/sec with non-overlapping spreads — the
+    # round-trip is nearly amortized by K=16, K=32 buys the last ~3% and
+    # still fits HBM at this (8-channel, 128-bar) bucket
+    scan_k = 32
     scan_steps_per_sec, scan_spread = bench_train_scan(bundle, k=scan_k)
 
     print(json.dumps({
