@@ -72,7 +72,11 @@ class SongCache:
             self.misses += 1
             return None
         sig, payload, cost = entry
-        if sig is not None and _stat_sig(path) != sig:
+        # sig is None when the file was unstattable at insert time (a BAD
+        # verdict for a then-missing file): _stat_sig(path) is None again
+        # while it stays missing, and becomes a mismatch the moment the file
+        # appears — so a corpus file created after a failed load re-parses
+        if _stat_sig(path) != sig:
             # file changed on disk since ingestion: stale — drop and re-parse
             del self._entries[path]
             self._bytes -= cost

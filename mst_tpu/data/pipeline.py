@@ -33,9 +33,12 @@ class Song:
     Retains the SoA note arrays so the device-side rasterizer can ship notes
     (KBs) instead of the dense raster (tens of MB) — see
     mst_tpu.ops.device_raster. The dense host rasters themselves are LAZY:
-    ``get_input`` materializes them eagerly (cold ingestion, behavior
-    unchanged), but a :meth:`slim` copy drops them and rebuilds on first
-    ``.pitched``/``.unpitched`` access — that is what makes the cross-epoch
+    ``get_input`` never builds them (it computes only the cheap
+    shape/emptiness metadata below — the round-4 cold-ingestion win); the
+    ``.pitched``/``.unpitched`` properties rasterize on first access for the
+    consumers that do need dense arrays (host-raster training, tests, the
+    oracle). A :meth:`slim` copy drops any materialized rasters again —
+    that is what makes the cross-epoch
     :class:`~mst_tpu.data.cache.SongCache` affordable (~KBs of notes per song
     instead of ~10 MB of raster). The device-raster training path only ever
     reads the metadata fields below, so cached replay never rasterizes on the
@@ -143,7 +146,8 @@ def _raster_has_mass(rasterizer: Rasterizer, channels: List[NoteArray],
     max into a zero base, so cells are nonnegative, and a valid pitched note
     always writes its accidental one-hot 1.0 while a valid unpitched note
     contributes iff its duration or velocity is positive
-    (ops/rasterize.py:129-142; tested in tests/test_data.py)."""
+    (ops/rasterize.py:129-142; tested in tests/test_cache.py::
+    test_lazy_emptiness_flags_match_dense_rasters)."""
     n_notes = rasterizer.n_notes(pitched)
     n_bars_cap = rasterizer.raster_shape(pitched)[0]
     for notes in channels:

@@ -522,7 +522,10 @@ def pad_batch(songs, max_channels: int, max_bars: int,
         instf[i, :C] = song.instruments_features[:C]
         cmask[i, :C] = 1.0
         lengths[i] = R
-        if song.unpitched is not None and song.unpitched.sum() > 0:
+        # has_unpitched is the precomputed "raster exists and sums > 0" flag;
+        # testing song.unpitched directly would force a lazy rasterization
+        # (and a full sum) per song per epoch on cache-replayed slim Songs
+        if song.has_unpitched:
             Cu = min(song.unpitched.shape[0], max_uchannels)
             unpitched[i, :Cu, :R] = song.unpitched[:Cu, :R]
             umask[i, :Cu] = 1.0
@@ -531,8 +534,7 @@ def pad_batch(songs, max_channels: int, max_bars: int,
         mode[i] = [0.0, 1.0] if is_minor else [1.0, 0.0]
         bpm[i] = song.info.bpm
         used[i] = get_used_instruments(
-            song.instruments_features[None, :C],
-            song.unpitched is not None and song.unpitched.sum() > 0)[0]
+            song.instruments_features[None, :C], song.has_unpitched)[0]
     # same NF-fused raster convention as device_batch_from_songs (a host-side
     # numpy reshape is free); consumers split via ops.shapes.split_note_features
     return Batch(

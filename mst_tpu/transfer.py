@@ -255,10 +255,12 @@ def _fused_transfer_full(model, feature_table, params, extract_args,
     the per-dispatch transport round-trip dominates single-request latency,
     and real serving deployments see the same effect at smaller scale."""
     # the extraction stage may run at a narrower activation storage dtype
-    # (extract_storage); the apply stage below always traces at fp32 storage,
-    # keeping the packed wire formats byte-identical to the proven path
+    # (extract_storage); the apply stage below always traces at fp32 storage
+    # (pinned by _wrap_precision's explicit default — never inherited from
+    # the process global), keeping the packed wire formats byte-identical to
+    # the proven path
     from mst_tpu.ops.precision import compute_dtype, precision
-    with precision(compute_dtype(), storage=extract_storage):
+    with precision(compute_dtype(), storage=extract_storage or "float32"):
         style, melody, rhythm = _raster_extract_latents(
             model, params, *extract_args, B=B, Cb=Cb, Rb=Rb, T=T,
             has_unpitched=has_unpitched)
@@ -402,13 +404,16 @@ class ModelBundle:
     def _wrap_precision(self, f, storage=None):
         """Trace ``f`` under the model config's compute dtype (bf16 matmuls
         when ModelConfig.compute_dtype="bfloat16"; outputs stay fp32).
-        ``storage``: activation storage dtype override for this program
-        (None keeps fp32 storage)."""
+        ``storage``: activation storage dtype override for this program;
+        None pins EXPLICIT float32 storage — transfer programs must never
+        inherit a process-global storage dtype someone set for training
+        (``precision(storage=None)`` would), or the apply stage's proven
+        fp32 packed wire format silently narrows."""
         from mst_tpu.ops.precision import precision
         dtype = self.model.config.compute_dtype
 
         def wrapped(*args, **kwargs):
-            with precision(dtype, storage=storage):
+            with precision(dtype, storage=storage or "float32"):
                 return f(*args, **kwargs)
         return wrapped
 
@@ -516,7 +521,7 @@ def ingest_map(fn, paths):
     ~35% SLOWER than a straight loop (60 vs 91 songs/sec), since every
     submit/result handoff forces a context switch on the one core."""
     paths = list(paths)
-    if os.cpu_count() <= 1 or len(paths) <= 1:
+    if (os.cpu_count() or 1) <= 1 or len(paths) <= 1:
         return [fn(p) for p in paths]
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=min(8, len(paths))) as pool:
