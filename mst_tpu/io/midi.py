@@ -191,7 +191,13 @@ def create_midi(info, *instruments, max_delta_time: float = math.inf,
             channels.append(instrument["channel_id"])
             a_col.append(instrument["instrument_id"]); b_col.append(0)
         msgs: NoteStream = instrument["messages"]
-        velocity = (msgs.velocity * MAX_VELOCITY).astype(np.int64)
+        # velocity scaling happens in float32 (parity: style/midi.py:147 —
+        # ``int(msg.velocity * 127)`` where msg.velocity is an np.float32 off
+        # the torch decode path, so the multiply rounds in float32; a float64
+        # multiply lands one ULP lower on exact-ratio values like 96/127 and
+        # truncates to byte-1)
+        velocity = (msgs.velocity.astype(np.float32)
+                    * np.float32(MAX_VELOCITY)).astype(np.int64)
         if np.any(velocity > 127):
             raise ValueError("velocity out of range")
         all_time.append(msgs.time.astype(np.int64))

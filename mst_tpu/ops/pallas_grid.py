@@ -83,7 +83,8 @@ def set_enabled(enabled: bool) -> None:
 
 def set_jnp_tail(mode: str) -> None:
     """Select the jnp tail implementation: "vjp" or "checkpoint"."""
-    assert mode in ("vjp", "checkpoint"), mode
+    if mode not in ("vjp", "checkpoint"):  # not an assert: must survive -O
+        raise ValueError(f"unknown jnp tail mode: {mode!r}")
     global _JNP_TAIL
     _JNP_TAIL = mode
 

@@ -40,29 +40,60 @@ class EmaMeter:
 
 
 class ProgressBar:
-    """tqdm wrapper showing the EMA averages as a postfix, with optional
-    min/max tracking per metric (parity: utils/misc.py:17-82, incl.
-    show_min_for/show_max_for)."""
+    """tqdm wrapper showing the EMA averages as a postfix, with per-metric
+    min/max tracking (parity: utils/misc.py:17-82, incl. show_min_for /
+    show_max_for, the ``biased``/``initial_values`` EMA variant, and
+    auto-close when n_iterations is reached).
+
+    NOTE: the reference's min/max update uses ``self.min_values.get(k) or
+    math.inf`` (utils/misc.py:61-64) — a truthiness bug that RESETS a
+    min/max of exactly 0.0 on the next update. This keeps the intended
+    behavior (a 0.0 extremum sticks), not the bug."""
 
     def __init__(self, n_iterations: Optional[int] = None,
-                 momentum: float = 0.99, show_min_for=(), show_max_for=()):
+                 momentum: float = 0.99, biased: bool = False,
+                 show_min_for=(), show_max_for=()):
+        self.n_iterations = n_iterations
+        self.momentum = momentum
+        self.biased = biased
         self.meter = EmaMeter(momentum)
+        self.avg_values: Dict[str, float] = {}
         self.show_min_for = show_min_for
         self.show_max_for = show_max_for
         self.min_values: Dict[str, float] = {}
         self.max_values: Dict[str, float] = {}
         self.pbar = tqdm(total=n_iterations)
 
+    def initial_values(self, **values):
+        """Seed the EMA and switch to the biased update
+        (parity: utils/misc.py:39-41)."""
+        self.avg_values.update(values)
+        self.biased = True
+
     def add(self, n: int = 1, **values):
         self.pbar.update(n)
-        self.meter.update(n, **values)
-        averages = self.meter.averages
-        for key, avg in averages.items():
+        self.update_values(n, **values)
+        if self.pbar.n == self.n_iterations:
+            self.close()
+
+    def update_values(self, n: int = 1, **values):
+        if self.biased:
+            # plain biased EMA toward the seeded values (utils/misc.py:51-54)
+            for key, value in values.items():
+                if value is None:
+                    continue
+                self.avg_values[key] = (self.avg_values.get(key, 0.0)
+                                        * self.momentum
+                                        + value * (1 - self.momentum))
+        else:
+            self.meter.update(n, **values)
+            self.avg_values = self.meter.averages
+        for key, avg in self.avg_values.items():
             self.min_values[key] = min(avg, self.min_values.get(key,
                                                                math.inf))
             self.max_values[key] = max(avg, self.max_values.get(key,
                                                                -math.inf))
-        parts = [f"{k}: {v:.2f}" for k, v in averages.items()]
+        parts = [f"{k}: {v:.2f}" for k, v in self.avg_values.items()]
         parts += [f"min {k}: {v:.2f}" for k, v in self.min_values.items()
                   if k in self.show_min_for]
         parts += [f"max {k}: {v:.2f}" for k, v in self.max_values.items()
@@ -73,7 +104,13 @@ class ProgressBar:
         self.pbar.close()
 
     def __getitem__(self, key):
-        return self.meter.averages[key]
+        return self.avg_values[key]
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 class CsvLogger:

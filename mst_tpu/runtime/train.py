@@ -497,7 +497,7 @@ def pad_batch(songs, max_channels: int, max_bars: int,
     an int applies to all songs, a sequence gives per-song caps.
     """
     B = len(songs)
-    T = songs[0].pitched.shape[2]
+    T = songs[0].beats_per_bar  # metadata — must not force a lazy raster
     if bar_cap is None or isinstance(bar_cap, int):
         bar_caps = [bar_cap] * B
     else:

@@ -260,7 +260,8 @@ def _fused_transfer_full(model, feature_table, params, extract_args,
     # the process global), keeping the packed wire formats byte-identical to
     # the proven path
     from mst_tpu.ops.precision import compute_dtype, precision
-    with precision(compute_dtype(), storage=extract_storage or "float32"):
+    with precision(compute_dtype(), storage=("float32" if extract_storage
+                                              is None else extract_storage)):
         style, melody, rhythm = _raster_extract_latents(
             model, params, *extract_args, B=B, Cb=Cb, Rb=Rb, T=T,
             has_unpitched=has_unpitched)
@@ -413,7 +414,8 @@ class ModelBundle:
         dtype = self.model.config.compute_dtype
 
         def wrapped(*args, **kwargs):
-            with precision(dtype, storage=storage or "float32"):
+            with precision(dtype, storage=("float32" if storage is None
+                                           else storage)):
                 return f(*args, **kwargs)
         return wrapped
 
