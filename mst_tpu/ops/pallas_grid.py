@@ -29,9 +29,12 @@ plain HBM-bandwidth copies that XLA fuses with the adjacent (un)flattens.
 
 The jnp fallback (`_tail_jnp`) is the exact reference formulation and is used
 on non-TPU backends (tests force CPU; Pallas-vs-jnp equivalence is pinned by
-tests/test_pallas_grid.py in interpret mode). NOTE: like ops.pallas_raster,
-the pallas_call is not SPMD-partitionable — model code routes through it only
-off-mesh or on single-chip meshes; sharded CPU-mesh runs take the jnp path.
+tests/test_pallas_grid.py in interpret mode). A bare pallas_call is an opaque
+custom call the SPMD partitioner cannot split; under a ``set_mesh`` mesh the
+kernel path therefore shard_maps itself (batch over ``data``, bars over
+``seq``) so each device runs the kernel on its local shard — multi-chip
+meshes keep the kernel (tests/test_fused_tails.py pins shard_map-kernel ==
+dense-kernel == jnp bit-level agreement on the virtual mesh).
 """
 
 from __future__ import annotations
@@ -74,11 +77,37 @@ _ENABLED = False
 # set_jnp_tail) and as executable documentation of the negative result.
 _JNP_TAIL = "checkpoint"
 
+# Mesh over which an ENABLED kernel path shard_maps itself: each device runs
+# the pallas_call on its local (batch/bar) shard, so the kernel no longer has
+# to be disabled on multi-chip meshes (the SPMD partitioner cannot split a
+# bare pallas_call, but a shard_map'd one it never sees). None = single-device.
+_MESH = None
+
+# Test/dryrun override: force the KERNEL path (interpret mode) on the CPU
+# backend, where the dispatch below would otherwise always take jnp — how the
+# virtual-mesh tests and dryrun_multichip exercise the shard_map'd kernel
+# without TPU hardware.
+_FORCE_INTERPRET = False
+
 
 def set_enabled(enabled: bool) -> None:
     """Trace-time gate: route fused_grid_tail to the jnp path when False."""
     global _ENABLED
     _ENABLED = bool(enabled)
+
+
+def set_mesh(mesh) -> None:
+    """Shard_map the kernel path over ``mesh`` (axes named data/seq honored
+    when the lead dims divide; unmentioned axes replicate). Applies only when
+    the kernel is enabled — the jnp path partitions under plain pjit."""
+    global _MESH
+    _MESH = mesh
+
+
+def set_force_interpret(force: bool) -> None:
+    """Route fused_grid_tail to the kernel (interpret mode) even on CPU."""
+    global _FORCE_INTERPRET
+    _FORCE_INTERPRET = bool(force)
 
 
 def set_jnp_tail(mode: str) -> None:
@@ -325,6 +354,37 @@ def _tail_vjp(xo, xd, w, rest, scale):
     return _tail_v(static, xo, xd, w, rest)
 
 
+def _tail_kernel_local(static, xo, xd, rest_full, w):
+    """One device's kernel dispatch: flatten the (local) lead dims to rows,
+    transpose to column layout, run the custom-VJP pallas_call, unpack."""
+    O, D, K, F = static[0], static[1], static[2], static[3]
+    *lead, _, _ = xo.shape
+    n = math.prod(lead) if lead else 1
+    n_pad = -(-max(n, 1) // TILE_N) * TILE_N
+    pad = [(0, 0), (0, n_pad - n)]
+
+    def to_cols(x, width):
+        return jnp.pad(x.reshape(n, width).T, pad)
+
+    outT = _tail_t(static, to_cols(xo, O * K), to_cols(xd, D * K),
+                   to_cols(rest_full, O * D * F), w)
+    return outT[:, :n].T.reshape(tuple(lead) + (O * D, F))
+
+
+def _lead_spec(lead, mesh):
+    """PartitionSpec over the lead dims: batch (dim 0) over a ``data`` axis,
+    bars (dim 2 — mst_tpu.parallel.mesh._batch_spec's bar axis) over ``seq``,
+    each only when the mesh has that axis >1 and the dim divides evenly;
+    everything else replicated."""
+    parts = [None] * len(lead)
+    shape = dict(mesh.shape)
+    if lead and shape.get("data", 1) > 1 and lead[0] % shape["data"] == 0:
+        parts[0] = "data"
+    if len(lead) > 2 and shape.get("seq", 1) > 1 and lead[2] % shape["seq"] == 0:
+        parts[2] = "seq"
+    return parts
+
+
 def fused_grid_tail(xo, xd, w, rest, scale, interpret=None):
     """``sigmoid(grid_contraction(xo, xd) @ w + rest) * scale`` without the
     (…, O, D, k) note grid ever reaching HBM — forward AND backward.
@@ -337,32 +397,36 @@ def fused_grid_tail(xo, xd, w, rest, scale, interpret=None):
 
     On TPU backends this runs the Pallas kernel above with a custom VJP; on
     CPU (tests, CPU meshes) it runs the exact jnp formulation. Values agree
-    to float32 reassociation tolerance (tests/test_pallas_grid.py).
-    """
+    to float32 reassociation tolerance (tests/test_pallas_grid.py). Under a
+    ``set_mesh`` mesh the kernel dispatch shard_maps itself (batch over
+    ``data``, bars over ``seq``) so every device runs the pallas_call on its
+    local shard — multi-chip meshes keep the kernel instead of losing it to
+    the partitioner's inability to split an opaque custom call."""
     *lead, O, K = xo.shape
     D = xd.shape[-2]
     F = w.shape[-1]
     if interpret is None:
         # the real chip registers as "axon" (tunneled PJRT plugin) or "tpu";
-        # anything else (the CPU test/mesh backend) takes the jnp path. The
-        # kernel is fp32-only — under a bfloat16 storage dtype the jnp path
-        # runs (and keeps the half-width HBM buffers end to end).
-        if (jax.default_backend() == "cpu" or not _ENABLED
-                or xo.dtype != jnp.float32):
+        # anything else (the CPU test/mesh backend) takes the jnp path unless
+        # the interpret-mode override forces the kernel. The kernel is
+        # fp32-only — under a bfloat16 storage dtype the jnp path runs (and
+        # keeps the half-width HBM buffers end to end).
+        on_cpu = jax.default_backend() == "cpu"
+        if (not _ENABLED or xo.dtype != jnp.float32
+                or (on_cpu and not _FORCE_INTERPRET)):
             if _JNP_TAIL == "vjp":
                 return _tail_vjp(xo, xd, w, rest, scale)
             return _tail_jnp(xo, xd, w, rest, scale)
-        interpret = False
-
-    n = math.prod(lead)
-    n_pad = -(-max(n, 1) // TILE_N) * TILE_N
-    pad = [(0, 0), (0, n_pad - n)]
-
-    def to_cols(x, width):
-        return jnp.pad(x.reshape(n, width).T, pad)
+        interpret = on_cpu
 
     rest_full = jnp.broadcast_to(rest, tuple(lead) + (O * D, F))
     static = (O, D, K, F, tuple(float(v) for v in scale), bool(interpret))
-    outT = _tail_t(static, to_cols(xo, O * K), to_cols(xd, D * K),
-                   to_cols(rest_full, O * D * F), w)
-    return outT[:, :n].T.reshape(tuple(lead) + (O * D, F))
+    if _MESH is not None and _MESH.size > 1:
+        from jax.sharding import PartitionSpec as P
+        spec = P(*_lead_spec(lead, _MESH), None, None)
+        fn = jax.shard_map(
+            functools.partial(_tail_kernel_local, static),
+            mesh=_MESH, in_specs=(spec, spec, spec, P()), out_specs=spec,
+            check_vma=False)
+        return fn(xo, xd, rest_full, w)
+    return _tail_kernel_local(static, xo, xd, rest_full, w)

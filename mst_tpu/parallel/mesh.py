@@ -37,14 +37,16 @@ def create_mesh(n_data: Optional[int] = None, n_seq: int = 1,
     if n_data is None or n_data < 0:
         n_data = len(devices) // n_seq
     devices = np.asarray(devices[:n_data * n_seq]).reshape(n_data, n_seq)
-    if devices.size > 1 and devices.flat[0].platform != "cpu":
-        # pallas_call is an opaque custom call the SPMD partitioner cannot
-        # split — on a real multi-chip mesh the model must trace the jnp
-        # formulation of the note-grid tail instead (CPU meshes already do,
-        # via the backend dispatch in ops.pallas_grid)
+    mesh = Mesh(devices, axis_names=("data", "seq"))
+    if devices.size > 1:
+        # a bare pallas_call is an opaque custom call the SPMD partitioner
+        # cannot split; registering the mesh makes an ENABLED note-grid
+        # kernel shard_map itself so each device runs it on its local shard
+        # (no-op for the default-off kernel — the jnp tail partitions under
+        # plain pjit)
         from mst_tpu.ops import pallas_grid
-        pallas_grid.set_enabled(False)
-    return Mesh(devices, axis_names=("data", "seq"))
+        pallas_grid.set_mesh(mesh)
+    return mesh
 
 
 def _batch_spec(batch: Batch, seq: bool = False) -> Batch:

@@ -409,7 +409,7 @@ def device_batch_from_song(song: Song, max_channels: int, max_bars: int,
 def device_batch_from_songs(songs, max_channels: int, max_bars: int,
                             bar_cap=None, max_uchannels: int = 1,
                             use_pallas: Optional[bool] = None,
-                            raster_dtype=None) -> Batch:
+                            raster_dtype=None, mesh=None) -> Batch:
     """Collate N songs into one fixed-shape Batch whose dense rasters are
     materialized ON DEVICE (one scatter dispatch per note family for the whole
     batch) — the data-parallel path ships ~KBs of note records per song
@@ -420,8 +420,16 @@ def device_batch_from_songs(songs, max_channels: int, max_bars: int,
     ``raster_dtype``: scatter the rasters directly at this dtype (pass the
     config's storage_dtype so a bf16-storage train step never materializes
     the fp32 raster at all — its in-step cast_storage becomes a no-op).
-    None keeps float32."""
-    from mst_tpu.ops.device_raster import device_rasterize_batch
+    None keeps float32.
+
+    ``mesh``: with a >1-device ``data`` axis (and a divisible batch), the
+    rasters are built BORN-SHARDED — each device scatters only its local
+    songs' notes via a shard_map'd kernel (device_rasterize_batch_sharded),
+    so the batch never materializes on one chip; the later
+    ``parallel.shard_batch`` device_put then finds the rasters already laid
+    out and moves nothing."""
+    from mst_tpu.ops.device_raster import (
+        device_rasterize_batch, device_rasterize_batch_sharded)
     from mst_tpu.ops.rasterize import Rasterizer
 
     if raster_dtype is None:
@@ -447,19 +455,29 @@ def device_batch_from_songs(songs, max_channels: int, max_bars: int,
     # reshape of its (rows, lanes) scatter output instead of the ~1.8 ms
     # standalone relayout into the 7-axis layout; the step program splits NF
     # back inside its first fusion (ops.shapes.split_note_features)
-    pitched = device_rasterize_batch(
-        rasterizers, [s.pitched_notes[:c] for s, c in
-                      zip(songs, channel_counts)],
-        True, max_channels, max_bars, valid_bars, use_pallas=use_pallas,
-        out_dtype=raster_dtype, fuse_nf=True)
+    sharded = (mesh is not None and mesh.shape.get("data", 1) > 1
+               and B % mesh.shape["data"] == 0)
+    if sharded:
+        def build(note_arrays, pitched, n_ch):
+            return device_rasterize_batch_sharded(
+                mesh, rasterizers, note_arrays, pitched, n_ch, max_bars,
+                valid_bars, use_pallas=use_pallas, out_dtype=raster_dtype,
+                fuse_nf=True)
+    else:
+        def build(note_arrays, pitched, n_ch):
+            return device_rasterize_batch(
+                rasterizers, note_arrays, pitched, n_ch, max_bars,
+                valid_bars, use_pallas=use_pallas, out_dtype=raster_dtype,
+                fuse_nf=True)
+
+    pitched = build([s.pitched_notes[:c] for s, c in
+                     zip(songs, channel_counts)], True, max_channels)
     has_u = [s.has_unpitched for s in songs]
     unpitched = None
     if any(has_u):
-        unpitched = device_rasterize_batch(
-            rasterizers, [(s.unpitched_notes[:max_uchannels] if h else [])
-                          for s, h in zip(songs, has_u)],
-            False, max_uchannels, max_bars, valid_bars, use_pallas=use_pallas,
-            out_dtype=raster_dtype, fuse_nf=True)
+        unpitched = build([(s.unpitched_notes[:max_uchannels] if h else [])
+                           for s, h in zip(songs, has_u)],
+                          False, max_uchannels)
 
     instf = np.zeros((B, max_channels, 51), np.float32)
     cmask = np.zeros((B, max_channels), np.float32)

@@ -273,6 +273,52 @@ def _assert_midi_equivalent(ref_path, mst_path):
     return False
 
 
+def test_latent_parity_on_real_ingested_song(transplanted):
+    """extract_style / predict_song_info on the REAL Sweet Dreams tensors
+    (7 channels, 119 bars, real sparsity + percussion) — transplanted-weight
+    tensor parity at fp32 tolerances, upgrading the synthetic R=5 inputs of
+    tests/test_reference_parity.py to a full ingested song."""
+    ref_model, bundle = transplanted
+    ref_in = _ref_ingest(SWEET_DREAMS)
+    assert ref_in is not None
+    with torch.no_grad():
+        t_mode, t_bpm, t_pitched, t_instf, t_unpitched = ref_data.prepare_input(
+            (str(SWEET_DREAMS), ref_in),
+            max_n_bars=1000 // ref_in[1].shape[0])
+        t_style, t_melody, t_rhythm = ref_model.extract_style(
+            t_mode, t_bpm, t_pitched, t_instf, t_unpitched)
+        t_inst, t_m, t_b = ref_model.predict_song_info(t_style, t_rhythm)
+
+    from mst_tpu.data.pipeline import prepare_input as mst_prepare
+    song = _mst_ingest(SWEET_DREAMS)
+    mode, bpm, pitched, instf, unpitched = mst_prepare(
+        song, max_n_bars=1000 // song.n_channels)
+    j_style, j_melody, j_rhythm = bundle.model.apply(
+        bundle.params, jnp.asarray(mode), jnp.asarray(bpm),
+        jnp.asarray(pitched), jnp.asarray(instf), jnp.asarray(unpitched),
+        method=StyleTransferModel.extract_style)
+    j_inst, j_m, j_b = bundle.model.apply(
+        bundle.params, j_style, j_rhythm,
+        method=StyleTransferModel.predict_song_info)
+
+    def close(got, want, label, atol=5e-4):
+        np.testing.assert_allclose(np.asarray(got), want.detach().numpy(),
+                                   rtol=1e-3, atol=atol, err_msg=label)
+
+    close(j_style, t_style, "style latent")
+    close(j_melody, t_melody, "melody latent")
+    close(j_rhythm, t_rhythm, "rhythm latent")
+    close(j_inst, t_inst, "instrument logits")
+    close(j_m, t_m, "mode logits")
+    close(j_b, t_b, "bpm", atol=2e-2)  # [50,200]-scaled head
+    # the DISCRETE decisions the transfer driver takes from these must agree
+    assert int(np.argmax(np.asarray(j_m)[0])) == int(t_m[0].argmax())
+    assert round(float(np.asarray(j_b)[0])) == round(float(t_b[0]))
+    n = len(song.instruments)
+    assert (list(np.argsort(-np.asarray(j_inst)[0])[:n])
+            == list(np.argsort(-t_inst[0].detach().numpy())[:n]))
+
+
 @pytest.mark.parametrize("composition,style", [(SWEET_DREAMS, TICO_TICO)])
 def test_full_transfer_style_output_parity(transplanted, tmp_path,
                                            composition, style):

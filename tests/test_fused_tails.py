@@ -130,3 +130,48 @@ def test_vjp_tail_bfloat16_storage_dtypes():
         np.testing.assert_allclose(a, b, rtol=0.05,
                                    atol=0.05 * np.abs(b).max())
     assert not np.isnan(np.asarray(out, np.float32)).any()
+
+
+def test_kernel_shard_map_on_mesh_matches_dense_kernel():
+    """The shard_map'd kernel path (set_mesh + enabled, interpret mode on the
+    virtual dp=4 x sp=2 CPU mesh) must BIT-match the single-device kernel
+    dispatch and track the jnp tail — values and all four cotangents. This is
+    the multi-chip configuration that previously fell back to jnp via
+    create_mesh's set_enabled(False) escape."""
+    from mst_tpu.ops import pallas_grid
+    from mst_tpu.parallel import create_mesh
+
+    rng = np.random.default_rng(6)
+    # lead dims (B=4, C=2, R=2, T=2, F10=3): batch divides data=4, bars
+    # divide seq=2
+    args = _inputs(rng, B=4, C=2, R=2, T=2, F10=3)
+    mesh = create_mesh(n_data=4, n_seq=2)
+    assert dict(mesh.shape) == {"data": 4, "seq": 2}
+    try:
+        pallas_grid.set_enabled(True)
+        pallas_grid.set_force_interpret(True)
+        # create_mesh already registered the mesh (size > 1)
+        sharded = fused_grid_tail(*args, SCALE)
+        g_sharded = jax.grad(
+            lambda a: (fused_grid_tail(*a, SCALE) ** 2).sum())(args)
+    finally:
+        pallas_grid.set_enabled(False)
+        pallas_grid.set_force_interpret(False)
+        pallas_grid.set_mesh(None)
+    dense = fused_grid_tail(*args, SCALE, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(dense))
+    _assert_close(sharded, _naive_pitched(*args))
+    g_dense = jax.grad(
+        lambda a: (fused_grid_tail(*a, SCALE, interpret=True) ** 2).sum())(
+        args)
+    g_naive = jax.grad(lambda a: (_naive_pitched(*a) ** 2).sum())(args)
+    # xo/xd cotangents are row-local (no cross-shard reduction) — but in
+    # INTERPRET mode the kernel body is re-fused by XLA inside each program
+    # context, so the small O/D-axis sums can reassociate by 1 ulp between
+    # the shard_map and dense programs (real Mosaic compiles the kernel in
+    # isolation and is context-stable). w/rest cotangents additionally psum
+    # across shards. Hence: forward bit-equal (asserted above), gradients to
+    # float32-reassociation tolerance.
+    for a, b, c in zip(g_sharded, g_dense, g_naive):
+        _assert_close(a, b)
+        _assert_close(a, c)

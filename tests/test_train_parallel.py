@@ -322,3 +322,39 @@ def test_nf_fused_batch_layout_contract(example_midis):
         assert batch.unpitched.shape[-1] == 47 * 2
         u = split_note_features(batch.unpitched, 2)
         assert u.shape == batch.unpitched.shape[:-1] + (47, 2)
+
+
+def test_device_batch_born_sharded_matches_dense(example_midis):
+    """device_batch_from_songs(mesh=...) — rasters built by the shard_map'd
+    per-device scatter (ops.device_raster.device_rasterize_batch_sharded) —
+    must BIT-match the single-device build, and come back already sharded
+    over the data axis."""
+    import jax
+    from mst_tpu.io import load_midi_from_file
+    from mst_tpu.ops.events import read_midi
+    from mst_tpu.data.pipeline import get_input
+    from mst_tpu.parallel import create_mesh
+    from mst_tpu.runtime.train import device_batch_from_songs
+
+    names = ["Angie.4.mid", "Sweet Dreams.mid", "Equinox Part 4.mid",
+             "Tico Tico No Fuba.mid"]
+    songs = []
+    for name in names:
+        path = [p for p in example_midis if p.name == name][0]
+        channels, info = read_midi(load_midi_from_file(path))
+        songs.append(get_input(channels, info))
+    caps = [50, 30, 64, 40]
+    mesh = create_mesh(n_data=4, n_seq=2)
+    try:
+        a = device_batch_from_songs(songs, 8, 64, bar_cap=caps, mesh=mesh)
+        b = device_batch_from_songs(songs, 8, 64, bar_cap=caps)
+        np.testing.assert_array_equal(np.asarray(a.pitched),
+                                      np.asarray(b.pitched))
+        if b.unpitched is not None:
+            np.testing.assert_array_equal(np.asarray(a.unpitched),
+                                          np.asarray(b.unpitched))
+        # the sharded build's batch axis is laid out over the data axis
+        assert "data" in str(a.pitched.sharding.spec), a.pitched.sharding
+    finally:
+        from mst_tpu.ops import pallas_grid
+        pallas_grid.set_mesh(None)
