@@ -69,6 +69,24 @@ def _pack_output(x, ticks_per_beat):
 
 COMPACT_CAPACITIES = (16384, 65536, 262144, 1048576)
 
+# Fetched-record POOL tiers: without a device mesh, an apply batch's records
+# are packed contiguously across jobs before the fetch (_pack_pool), so the
+# transported buffer scales with the OBSERVED record total instead of
+# B x capacity — per-job capacity only sizes device-internal routing buffers.
+# Tiers double (waste <= 2x) and a sticky per-bundle hint keeps steady-state
+# requests on the exact tier. With a mesh the per-job row layout is kept:
+# cross-job packing would all-gather every shard's records onto one device,
+# while the row layout fetches each shard's rows straight from its chip.
+POOL_TIERS = (8192, 16384, 32768, 65536, 131072, 262144, 524288,
+              1048576, 2097152, 4194304)
+
+
+def _pick_pool_tier(n: int) -> int:
+    for t in POOL_TIERS:
+        if n <= t:
+            return t
+    return POOL_TIERS[-1]
+
 # fused-result buffer layout (see _fused_transfer_apply)
 _HDR = 8  # [bpm, mode_idx, n_picked, has_unpitched, count_p, count_u,
 #            live_blocks_p, live_blocks_u]
@@ -213,6 +231,24 @@ def _compact_song_dense(dur, vel, acc, n_channels, n_bars, capacity):
     return count.astype(jnp.uint32), jnp.zeros((), jnp.uint32), rec
 
 
+def _pack_pool(rec, counts, pool_cap: int):
+    """Pack B jobs' compacted records ((B, cap, 2) uint32, job b's first
+    ``counts[b]`` rows live) contiguously into one (pool_cap, 2) buffer — job
+    b's records start at sum(counts[:b]), preserving each job's ascending
+    cell order, so the records are BIT-IDENTICAL to the per-job layout, just
+    densely packed. Ranks beyond the observed total are zero; if the total
+    exceeds ``pool_cap`` the tail is truncated — the host detects that from
+    the (untruncated) header counts and escalates the pool tier."""
+    c = counts.astype(jnp.int32)
+    incl = jnp.cumsum(c)
+    q = jnp.arange(pool_cap, dtype=jnp.int32)
+    j = jnp.minimum(jnp.searchsorted(incl, q, side="right"), c.shape[0] - 1)
+    start = incl[j] - c[j]
+    live = q < incl[-1]
+    idx = jnp.where(live, jnp.minimum(q - start, rec.shape[1] - 1), 0)
+    return jnp.where(live[:, None], rec[j, idx], 0)
+
+
 def _raster_extract_latents(model, params, p_notes, u_notes, mode, bpm, instf,
                             lengths, cmask, umask, *, B, Cb, Rb, T,
                             has_unpitched):
@@ -246,7 +282,7 @@ def _fused_transfer_full(model, feature_table, params, extract_args,
                          style_idx, comp_idx, n_instruments, bar_lengths,
                          tpb, *, B, Cb, Rb, T, has_unpitched, capacity,
                          max_channels, dense_compaction=False,
-                         extract_storage=None):
+                         extract_storage=None, pool=None):
     """The WHOLE transfer device side as ONE program: on-device rasterization
     + latent extraction of the B ingested songs, then the batched style
     application of every job (_fused_transfer_apply) on the just-computed
@@ -268,13 +304,14 @@ def _fused_transfer_full(model, feature_table, params, extract_args,
     return _fused_transfer_apply(
         model, feature_table, params, style, melody, rhythm, style_idx,
         comp_idx, n_instruments, bar_lengths, tpb, capacity=capacity,
-        max_channels=max_channels, dense_compaction=dense_compaction)
+        max_channels=max_channels, dense_compaction=dense_compaction,
+        pool=pool)
 
 
 def _fused_transfer_apply(model, feature_table, params, style, melody, rhythm,
                           style_idx, comp_idx, n_instruments, bar_lengths,
                           tpb, *, capacity, max_channels,
-                          dense_compaction=False):
+                          dense_compaction=False, pool=None):
     """ONE device program for the whole style application of a BATCH of B
     jobs: latent gathers, song-info prediction, on-device instrument pick +
     feature gather, both appliers, packing, and sparse compaction — results
@@ -287,8 +324,12 @@ def _fused_transfer_apply(model, feature_table, params, style, melody, rhythm,
     ``n_instruments`` (B,) int32; ``bar_lengths`` (B,) per-job real bar
     counts; ``tpb`` (B,) float32 ticks-per-beat.
 
-    Per-job buffer layout (uint32): [header(8) | picked(max_channels) |
-    pitched records (capacity*2) | unpitched records ((capacity//4)*2)].
+    Per-job buffer layout (uint32, ``pool=None``): [header(8) |
+    picked(max_channels) | pitched records (capacity*2) | unpitched records
+    ((capacity//4)*2)]. With ``pool=(POOL_P, POOL_U)`` the result is ONE flat
+    uint32 array [B*(8+max_channels) headers | POOL_P*2 pitched pool |
+    POOL_U*2 unpitched pool] with every job's records packed contiguously
+    (_pack_pool) — same records, a fraction of the fetched bytes.
     """
     style = style[style_idx]
     melody = melody[comp_idx]
@@ -334,16 +375,29 @@ def _fused_transfer_apply(model, feature_table, params, style, melody, rhythm,
         has_unpitched.astype(jnp.uint32),
         count_p, count_u, live_p, live_u], axis=1)
     # picked may contain -1 padding: transported as uint32, viewed back signed
-    return jnp.concatenate([header, picked.astype(jnp.uint32),
-                            rec_p.reshape(B, -1), rec_u.reshape(B, -1)],
-                           axis=1)
+    if pool is None:
+        return jnp.concatenate([header, picked.astype(jnp.uint32),
+                                rec_p.reshape(B, -1), rec_u.reshape(B, -1)],
+                               axis=1)
+    pool_p, pool_u = pool
+    hdr = jnp.concatenate([header, picked.astype(jnp.uint32)],
+                          axis=1).reshape(-1)
+    return jnp.concatenate([
+        hdr, _pack_pool(rec_p, count_p, pool_p).reshape(-1),
+        _pack_pool(rec_u, count_u, pool_u).reshape(-1)])
 
 
 # Shape buckets: channel/bar counts are padded up to these so jit compiles
 # amortize across songs (TPU-first; outputs at padded cells are masked or
 # sliced away, and the padding-equivalence of the masked model is tested).
+# The bar ladder is deliberately finer than powers of two: every grid-scale
+# stage (rasterize, encoders, appliers, packing) scales ~linearly in Rb, so
+# padding 135 real bars to 256 would nearly double the device time of the
+# whole request. Compiles are per-actually-used bucket and served from the
+# persistent on-disk executable cache, so the finer ladder costs nothing
+# after the first encounter of each shape.
 CHANNEL_BUCKETS = (8, 16, 32)
-BAR_BUCKETS = (128, 256, 512, 1024)
+BAR_BUCKETS = (64, 96, 128, 160, 192, 256, 320, 384, 512, 768, 1024)
 
 
 def _bucket(n: int, buckets) -> int:
@@ -351,6 +405,15 @@ def _bucket(n: int, buckets) -> int:
         if n <= b:
             return b
     return n
+
+
+def _pool_from_key(rest) -> Optional[Tuple[int, int]]:
+    """Parse the optional ``pool=PP,PU`` segment of a fused-program key."""
+    for r in rest:
+        if r.startswith("pool="):
+            pp, pu = r[5:].split(",")
+            return int(pp), int(pu)
+    return None
 
 
 @dataclasses.dataclass
@@ -369,6 +432,13 @@ class ModelBundle:
     params: dict
     mesh: Optional[object] = None  # jax.sharding.Mesh
     capacity_hint: int = 0  # sticky: smallest compaction tier known to fit
+    # sticky record-pool sizing (meshless fetch path): last observed batch
+    # record SUMS; the next request starts on _pick_pool_tier of these
+    pool_hint_p: int = 0
+    pool_hint_u: int = 0
+    # fetch apply results through the packed-record pool (False pins the
+    # per-job row layout; a mesh implies False — see POOL_TIERS)
+    use_record_pool: bool = True
     # fuse extraction+apply into ONE device program when a request's songs
     # share an extraction bucket (transfer_styles); False forces the
     # two-dispatch pipeline (also the output-equivalence test's toggle)
@@ -453,6 +523,7 @@ class ModelBundle:
                     _fused_transfer_full, self.model, table,
                     capacity=int(cap), max_channels=int(cba),
                     dense_compaction="dense" in rest,
+                    pool=_pool_from_key(rest),
                     extract_storage=self.extract_storage_dtype)
                 self._raw[key] = raw
                 self._jitted[key] = jax.jit(
@@ -465,7 +536,8 @@ class ModelBundle:
                 raw = functools.partial(
                     _fused_transfer_apply, self.model, table,
                     capacity=int(cap), max_channels=int(cb),
-                    dense_compaction="dense" in rest)
+                    dense_compaction="dense" in rest,
+                    pool=_pool_from_key(rest))
                 self._raw[key] = raw
                 self._jitted[key] = jax.jit(self._wrap_precision(raw))
             else:
@@ -810,6 +882,46 @@ def _fits(capacity: int, count_p: int, count_u: int, live_p: int,
             and live_p <= blocks_p and live_u <= blocks_u)
 
 
+def _header_table(buf: np.ndarray, B: int, Cb: int, pool) -> np.ndarray:
+    """The (B, 8) per-job header rows of a fetched fused-apply buffer."""
+    if pool is None:
+        return buf[:B, :_HDR]
+    return buf[:B * (_HDR + Cb)].reshape(B, _HDR + Cb)[:, :_HDR]
+
+
+def unpack_job_records(buf: np.ndarray, B: int, Cb: int, capacity: int, pool):
+    """Split a fetched fused-apply buffer into B per-job views
+    ``(header (8,), picked (Cb,) int32, rec_p (count_p, 2), rec_u
+    (count_u, 2))`` — the wire-layout inverse of _fused_transfer_apply for
+    both the per-job-row and the packed-pool layouts."""
+    out = []
+    if pool is None:
+        base = _HDR + Cb
+        for b in range(B):
+            row = buf[b]
+            hdr = row[:_HDR]
+            picked = np.ascontiguousarray(row[_HDR:_HDR + Cb]).view(np.int32)
+            cp, cu = int(hdr[4]), int(hdr[5])
+            out.append((hdr, picked,
+                        row[base:base + capacity * 2].reshape(-1, 2)[:cp],
+                        row[base + capacity * 2:].reshape(-1, 2)[:cu]))
+        return out
+    hdrs = buf[:B * (_HDR + Cb)].reshape(B, _HDR + Cb)
+    rec_base = B * (_HDR + Cb)
+    rec_p = buf[rec_base:rec_base + pool[0] * 2].reshape(-1, 2)
+    rec_u = buf[rec_base + pool[0] * 2:].reshape(-1, 2)
+    off_p = off_u = 0
+    for b in range(B):
+        hdr = hdrs[b, :_HDR]
+        picked = np.ascontiguousarray(hdrs[b, _HDR:]).view(np.int32)
+        cp, cu = int(hdr[4]), int(hdr[5])
+        out.append((hdr, picked, rec_p[off_p:off_p + cp],
+                    rec_u[off_u:off_u + cu]))
+        off_p += cp
+        off_u += cu
+    return out
+
+
 def run_fused_jobs(bundle: ModelBundle, infos, style_mat, melody_mat,
                    rhythm_mat, style_idx, comp_idx, n_instruments_list,
                    n_bars_list, Cb: int, host_work=None, dispatch=None):
@@ -823,10 +935,13 @@ def run_fused_jobs(bundle: ModelBundle, infos, style_mat, melody_mat,
     decoding the original .mid files) overlaps the device compute instead of
     serializing with it.
 
-    ``dispatch``: optional ``(job_rows, capacity, dense) -> device buffer``
-    override — the fully-fused single-dispatch path substitutes the program
-    that also computes the latents; the ladder/hint/escape-hatch logic here
-    is the single source of truth for BOTH paths."""
+    ``dispatch``: optional ``(job_rows, capacity, dense, pool) -> device
+    buffer`` override — the fully-fused single-dispatch path substitutes the
+    program that also computes the latents; the ladder/hint/escape-hatch
+    logic here is the single source of truth for BOTH paths.
+
+    Returns ``(buf, capacity, pool)``; decode the buffer with
+    ``unpack_job_records(buf, B, Cb, capacity, pool)``."""
     B = len(infos)
 
     def rows(values, dtype):
@@ -844,26 +959,49 @@ def run_fused_jobs(bundle: ModelBundle, infos, style_mat, melody_mat,
     comp_idx = rows(list(comp_idx), np.int32)
     job_rows = (style_idx, comp_idx, n_inst, bars, tpb)
     if dispatch is None:
-        def dispatch(job_rows, capacity, dense):
+        def dispatch(job_rows, capacity, dense, pool):
             suffix = ":dense" if dense else ""
+            if pool is not None:
+                suffix += f":pool={pool[0]},{pool[1]}"
             return bundle.fn(f"fused:{capacity}:{Cb}{suffix}")(
                 bundle.params, style_mat, melody_mat, rhythm_mat, *job_rows)
+    # meshless requests fetch through the packed-record pool (bytes scale
+    # with observed totals); sharded meshes keep the per-job row layout so
+    # every shard's output rows stream from their own chip (see POOL_TIERS)
+    use_pool = bundle.mesh is None and bundle.use_record_pool
+
+    def pools_for(sum_p, sum_u):
+        if max(sum_p, sum_u) > POOL_TIERS[-1]:
+            return None  # beyond the top tier: fall back to per-job rows
+        return (_pick_pool_tier(max(sum_p, 1)),
+                _pick_pool_tier(max(sum_u, 1)))
+
+    pool = pools_for(bundle.pool_hint_p or B * 2048,
+                     bundle.pool_hint_u or B * 512) if use_pool else None
     # start at the sticky hint: once a batch needed a bigger tier, later
     # batches skip the doomed small-tier dispatch (escalation re-runs the
     # whole program, so a wrong guess costs a full round trip)
     ladder = [c for c in COMPACT_CAPACITIES if c >= bundle.capacity_hint] \
         or [COMPACT_CAPACITIES[-1]]
     for capacity in ladder:
-        buf_dev = dispatch(job_rows, capacity, False)
-        if host_work is not None:
-            host_work()          # overlaps the async device dispatch above
-            host_work = None
-        buf = np.asarray(buf_dev)
-        count_p = int(buf[:B, 4].max())
-        count_u = int(buf[:B, 5].max())
-        live_p = int(buf[:B, 6].max())
-        live_u = int(buf[:B, 7].max())
-        if _fits(capacity, count_p, count_u, live_p, live_u):
+        while True:
+            buf_dev = dispatch(job_rows, capacity, False, pool)
+            if host_work is not None:
+                host_work()      # overlaps the async device dispatch above
+                host_work = None
+            buf = np.asarray(buf_dev)
+            hdr = _header_table(buf, B, Cb, pool)
+            count_p, count_u = int(hdr[:, 4].max()), int(hdr[:, 5].max())
+            live_p, live_u = int(hdr[:, 6].max()), int(hdr[:, 7].max())
+            sum_p, sum_u = int(hdr[:, 4].sum()), int(hdr[:, 5].sum())
+            if not _fits(capacity, count_p, count_u, live_p, live_u):
+                break            # escalate the capacity tier
+            if pool is not None and (sum_p > pool[0] or sum_u > pool[1]):
+                # records fit the routing capacity but overflowed the fetch
+                # pool; the header sums are exact, so one re-dispatch at the
+                # right tier always succeeds
+                pool = pools_for(sum_p, sum_u)
+                continue
             # remember the smallest tier the observed counts FIT in (not the
             # tier used): the hint may step back down, so one dense batch
             # doesn't permanently inflate every later fetch to the top tier
@@ -872,27 +1010,37 @@ def run_fused_jobs(bundle: ModelBundle, infos, style_mat, melody_mat,
             bundle.capacity_hint = next(
                 c for c in COMPACT_CAPACITIES
                 if _fits(c, count_p, count_u, live_p, live_u))
-            return buf, capacity
+            if use_pool:
+                bundle.pool_hint_p, bundle.pool_hint_u = sum_p, sum_u
+            return buf, capacity, pool
     capacity = COMPACT_CAPACITIES[-1]
     if count_p <= capacity and count_u <= capacity // 4:
         # records fit but the live-BLOCK routing table overflowed (a
         # pathologically spread roll: ~1 note per 128-cell block); run
-        # the density-independent dense-compaction escape hatch once
-        buf = np.asarray(dispatch(job_rows, capacity, True))
-        # an overflowed routing table TRUNCATES the block ladder's reported
-        # counts (the live-block prefix under-reports), so the pre-dense
-        # check above is optimistic; the dense compaction's header carries
-        # the TRUE counts — re-check them so _decode_packed_buffer's
-        # [:count] slice can never silently cap at capacity
-        count_p = int(buf[:B, 4].max())
-        count_u = int(buf[:B, 5].max())
+        # the density-independent dense-compaction escape hatch
+        while True:
+            buf = np.asarray(dispatch(job_rows, capacity, True, pool))
+            # an overflowed routing table TRUNCATES the block ladder's
+            # reported counts (the live-block prefix under-reports), so the
+            # pre-dense check above is optimistic; the dense compaction's
+            # header carries the TRUE counts — re-check them so the decode's
+            # [:count] slice can never silently cap at capacity (and so the
+            # pool, sized from under-reported sums, grows to the real total)
+            hdr = _header_table(buf, B, Cb, pool)
+            count_p, count_u = int(hdr[:, 4].max()), int(hdr[:, 5].max())
+            sum_p, sum_u = int(hdr[:, 4].sum()), int(hdr[:, 5].sum())
+            if pool is None or (sum_p <= pool[0] and sum_u <= pool[1]):
+                break
+            pool = pools_for(sum_p, sum_u)
     if count_p > capacity or count_u > capacity // 4:
         raise OverflowError(
             f"style application produced {count_p} pitched / {count_u} "
             f"unpitched notes, beyond the largest compaction capacity "
             f"{COMPACT_CAPACITIES[-1]}; the device compaction already "
             f"dropped records, so decoding would silently lose notes")
-    return buf, capacity
+    if use_pool and pool is not None:
+        bundle.pool_hint_p, bundle.pool_hint_u = sum_p, sum_u
+    return buf, capacity, pool
 
 
 def _apply_batch(bundle: ModelBundle, infos, style_mat, melody_mat,
@@ -902,12 +1050,12 @@ def _apply_batch(bundle: ModelBundle, infos, style_mat, melody_mat,
     to its .mid file."""
     Rb, T = rhythm_mat.shape[1], rhythm_mat.shape[2]
     Cb = _bucket(max(max(n_instruments_list), 1), CHANNEL_BUCKETS)
-    buf, capacity = run_fused_jobs(
+    buf, capacity, pool = run_fused_jobs(
         bundle, infos, style_mat, melody_mat, rhythm_mat, style_idx, comp_idx,
         n_instruments_list, n_bars_list, Cb, host_work=host_work)
-    for b in range(len(infos)):
-        _decode_packed_buffer(infos[b], buf[b], capacity, Cb, Rb, T,
-                              save_paths[b])
+    views = unpack_job_records(buf, len(infos), Cb, capacity, pool)
+    for b, view in enumerate(views):
+        _decode_packed_job(infos[b], *view, Cb, Rb, T, save_paths[b])
 
 
 def _apply_batch_fused(bundle: ModelBundle, infos, ext_args, ext_statics,
@@ -921,38 +1069,38 @@ def _apply_batch_fused(bundle: ModelBundle, infos, ext_args, ext_statics,
     Rb, T = ext_statics["Rb"], ext_statics["T"]
     CbA = _bucket(max(max(n_instruments_list), 1), CHANNEL_BUCKETS)
 
-    def dispatch(job_rows, capacity, dense):
+    def dispatch(job_rows, capacity, dense, pool):
         suffix = ":dense" if dense else ""
+        if pool is not None:
+            suffix += f":pool={pool[0]},{pool[1]}"
         return bundle.fn(f"transfer_fused:{capacity}:{CbA}{suffix}")(
             bundle.params, ext_args, *job_rows, **ext_statics)
 
-    buf, capacity = run_fused_jobs(
+    buf, capacity, pool = run_fused_jobs(
         bundle, infos, None, None, None, style_idx, comp_idx,
         n_instruments_list, n_bars_list, CbA, host_work=host_work,
         dispatch=dispatch)
-    for b in range(len(infos)):
-        _decode_packed_buffer(infos[b], buf[b], capacity, CbA, Rb, T,
-                              save_paths[b])
+    views = unpack_job_records(buf, len(infos), CbA, capacity, pool)
+    for b, view in enumerate(views):
+        _decode_packed_job(infos[b], *view, CbA, Rb, T, save_paths[b])
 
 
-def _decode_packed_buffer(info: SongInfo, buf: np.ndarray, capacity: int,
-                          Cb: int, Rb: int, T: int, save_path: str) -> None:
-    """Decode one song's fused-apply result buffer to a .mid file."""
+def _decode_packed_job(info: SongInfo, header: np.ndarray, picked_all,
+                       rec_p: np.ndarray, rec_u: np.ndarray, Cb: int, Rb: int,
+                       T: int, save_path: str) -> None:
+    """Decode one job's fused-apply records (one ``unpack_job_records`` view)
+    to a .mid file."""
     from mst_tpu.ops.rasterize import QNotes
 
-    header = buf[:_HDR]
-    count_p, count_u = int(header[4]), int(header[5])
     info.tempo = bpm2tempo(int(header[0]))
     info.scale = Scale(tonic=info.scale.tonic, is_minor=bool(header[1] == 1))
     rasterizer = Rasterizer(info)
     n_picked = int(header[2])
     has_unpitched = bool(header[3])
-    picked = np.ascontiguousarray(buf[_HDR:_HDR + Cb]).view(np.int32)[:n_picked]
+    picked = picked_all[:n_picked]
     instruments = [category_instrument(int(i)) for i in picked]
-    base = _HDR + Cb
 
-    def unpack(records, shape, n_channels, count):
-        recs = records.reshape(-1, 2)[:count]
+    def unpack(recs, shape, n_channels):
         c, bar, beat, frac, note = np.unravel_index(
             recs[:, 0].astype(np.int64), shape)
         dur = (recs[:, 1] >> 16) & 0xFFFF
@@ -971,9 +1119,7 @@ def _decode_packed_buffer(info: SongInfo, buf: np.ndarray, capacity: int,
                 acc=acc[sel].astype(np.int32)))
         return out
 
-    shape_p = (Cb, Rb, T, 10, 56)
-    qnotes_p = unpack(buf[base:base + capacity * 2], shape_p, n_picked,
-                      count_p)
+    qnotes_p = unpack(rec_p, (Cb, Rb, T, 10, 56), n_picked)
     instruments_data = []
     channel_ids = _free_channels(n_picked)
     for c in range(n_picked):
@@ -983,8 +1129,7 @@ def _decode_packed_buffer(info: SongInfo, buf: np.ndarray, capacity: int,
             "messages": rasterizer.qnotes_to_messages(qnotes_p[c], True),
         })
     if has_unpitched:
-        shape_u = (1, Rb, T, 10, 47)
-        qnotes_u = unpack(buf[base + capacity * 2:], shape_u, 1, count_u)
+        qnotes_u = unpack(rec_u, (1, Rb, T, 10, 47), 1)
         instruments_data.append({
             "channel_id": 9, "instrument_id": -1,
             "messages": rasterizer.qnotes_to_messages(qnotes_u[0], False),

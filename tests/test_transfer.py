@@ -398,6 +398,40 @@ def test_transfer_styles_mesh_sharded_matches_unsharded(bundle, example_midis,
             assert n_diff <= max(8, len(ma) // 1000), (a, n_diff)
 
 
+def test_record_pool_matches_per_job_layout(bundle, example_midis, tmp_path):
+    """The packed-record-pool fetch layout (meshless default) is a transport
+    optimization only: outputs byte-identical to the per-job row layout,
+    including when the first dispatch's pool tier is too small and the ladder
+    re-dispatches at the exact tier (truncated-pool escalation)."""
+    import mst_tpu.transfer as tr
+    comp = _example("Sweet Dreams.mid", example_midis)
+    style = _example("Angie.4.mid", example_midis)
+
+    rows = ModelBundle(model=bundle.model, params=bundle.params,
+                       use_record_pool=False)
+    written_rows = transfer_style(rows, comp, [style], tmp_path / "rows")
+
+    pooled = ModelBundle(model=bundle.model, params=bundle.params)
+    # starve the first dispatch: a 16-record tier truncates any real output,
+    # so the header-sum check must escalate and re-dispatch
+    pooled.pool_hint_p = pooled.pool_hint_u = 1
+    old = tr.POOL_TIERS
+    tr.POOL_TIERS = (16,) + old
+    try:
+        written_pool = transfer_style(pooled, comp, [style],
+                                      tmp_path / "pool")
+    finally:
+        tr.POOL_TIERS = old
+    assert pooled.pool_hint_p > 16  # escalation observed real sums
+    assert len(written_rows) == len(written_pool) == 4
+    for pr, pp in zip(written_rows, written_pool):
+        with open(pr, "rb") as fh:
+            row_bytes = fh.read()
+        with open(pp, "rb") as fh:
+            pool_bytes = fh.read()
+        assert row_bytes == pool_bytes, os.path.basename(pr)
+
+
 def test_fused_request_matches_two_dispatch_path(bundle, example_midis,
                                                  tmp_path):
     """When a request's songs share one extraction bucket, transfer_styles

@@ -108,14 +108,15 @@ def main():
             with st("5 apply dispatch+fetch"):
                 # the real ladder (incl. the live-block columns and the dense
                 # fallback) — never duplicate its escalation logic here
-                buf, capacity = tr.run_fused_jobs(
+                buf, capacity, pool = tr.run_fused_jobs(
                     bundle, list(infos), style_mat, batches[g].melody,
                     batches[g].rhythm, list(s_idx), list(c_idx),
                     list(n_inst), list(bars), Cb)
             with st("6 styled decode+write"):
-                for b in range(B):
-                    tr._decode_packed_buffer(infos[b], buf[b], capacity, Cb,
-                                             Rb, T, paths[b])
+                views = tr.unpack_job_records(buf, B, Cb, capacity, pool)
+                for b, view in enumerate(views):
+                    tr._decode_packed_job(infos[b], *view, Cb, Rb, T,
+                                          paths[b])
 
     total = sum(st.times.values())
     print(f"\n{n_rounds} rounds, {len(COMPOSITIONS)} compositions, "
