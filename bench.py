@@ -264,13 +264,20 @@ def bench_train_step(bundle):
             spread(block_rates))
 
 
-def bench_train_scan(bundle, k: int = 8):
+def bench_train_scan(bundle, k: int = 8, b: int = 1):
     """Sustained training throughput with K steps per dispatch
     (runtime.train.make_multi_train_step): one jit call + one stacked-loss
     fetch per K steps. On the remote-attached chip the per-dispatch
     transport round-trip (~30-40 ms) dwarfs the ~12 ms of device compute, so
     this is the train loop's real steady-state configuration
-    (train-model.py --steps-per-dispatch)."""
+    (train-model.py --steps-per-dispatch).
+
+    ``b``: songs per scanned step (train-model.py --batch). b=1 matches the
+    reference's regime (one song per step); b=8 is the production regime of
+    the committed batch campaign (training_batch8.csv) — each scan step
+    consumes a whole batch, so the stacked input carries k*b songs and
+    steps/sec counts batch-steps. Returns (steps_per_sec, spread,
+    flops_per_step) with FLOPs traced from the exact benched program."""
     import jax
     import numpy as np
     from mst_tpu.data.pipeline import get_input
@@ -283,8 +290,9 @@ def bench_train_scan(bundle, k: int = 8):
     channels, info = read_midi(load_midi_from_file(COMPOSITIONS[0]))
     song = get_input(channels, info)
     cap = min(800 // song.n_channels, 128)
-    kbatch = device_batch_from_songs([song] * k, 8, 128, bar_cap=[cap] * k,
-                                     raster_dtype=config.model.storage_dtype)
+    kbatch = device_batch_from_songs(
+        [song] * (k * b), 8, 128, bar_cap=[cap] * (k * b),
+        raster_dtype=config.model.storage_dtype)
     state = create_train_state(bundle.model, config, kbatch,
                                jax.random.PRNGKey(0))
     multi = make_multi_train_step(
@@ -308,7 +316,19 @@ def bench_train_scan(bundle, k: int = 8):
             pending = vec
         np.asarray(pending)
         block_rates.append((n * k) / (time.perf_counter() - t0))
-    return max(block_rates), spread(block_rates)
+
+    # analytic matmul FLOPs of one scanned step (fwd + bwd + Adam) at this
+    # batch size, traced from the same step function the scan runs
+    from mst_tpu.runtime.flops import count_matmul_flops
+    from mst_tpu.runtime.train import make_train_step
+    bbatch = device_batch_from_songs(
+        [song] * b, 8, 128, bar_cap=[cap] * b,
+        raster_dtype=config.model.storage_dtype)
+    raw_step = make_train_step(bundle.model, config,
+                               has_unpitched=bbatch.unpitched is not None,
+                               fetch_losses=False)
+    flops_per_step = count_matmul_flops(raw_step, state, bbatch)
+    return max(block_rates), spread(block_rates), flops_per_step
 
 
 def main():
@@ -332,7 +352,14 @@ def main():
     # round-trip is nearly amortized by K=16, K=32 buys the last ~3% and
     # still fits HBM at this (8-channel, 128-bar) bucket
     scan_k = 32
-    scan_steps_per_sec, scan_spread = bench_train_scan(bundle, k=scan_k)
+    scan_steps_per_sec, scan_spread, _ = bench_train_scan(bundle, k=scan_k)
+    # the production regime: batch-8 steps (training_batch8.csv) under the
+    # K-scan; K=4 keeps the stacked 32-song input comfortably in HBM while
+    # the ~0.5 s of device compute per dispatch already amortizes the
+    # round-trip
+    b8_k, b8_b = 4, 8
+    (b8_steps_per_sec, b8_spread,
+     b8_flops_per_step) = bench_train_scan(bundle, k=b8_k, b=b8_b)
 
     print(json.dumps({
         "metric": "host_ingestion",
@@ -403,6 +430,25 @@ def main():
         "steps_per_dispatch": scan_k,
         "storage_dtype": "bfloat16",
         "vs_baseline": round(scan_steps_per_sec / TARGET_TRAIN_STEPS_PER_SEC,
+                             4),
+        "baseline": "north-star-target",
+    }))
+
+    # the production training regime (batch 8, K-scan): steps here are
+    # batch-steps, so songs/sec = value * 8; vs_baseline stays anchored to
+    # the north-star steps/sec target for comparability with train_step_scan
+    print(json.dumps({
+        "metric": "train_step_scan_batch8",
+        "value": round(b8_steps_per_sec, 4),
+        "unit": "steps/sec/chip",
+        "spread": b8_spread,
+        "steps_per_dispatch": b8_k,
+        "batch_size": b8_b,
+        "songs_per_sec": round(b8_steps_per_sec * b8_b, 2),
+        "mfu": round(mfu(b8_flops_per_step, 1.0 / b8_steps_per_sec, dtype),
+                     6),
+        "storage_dtype": "bfloat16",
+        "vs_baseline": round(b8_steps_per_sec / TARGET_TRAIN_STEPS_PER_SEC,
                              4),
         "baseline": "north-star-target",
     }))
