@@ -3,3 +3,6 @@ from mst_tpu.audio.spectral import (  # noqa: F401
     stft, mel_filterbank, mel_spectrogram, log_mel, spectral_similarity,
     spectral_similarity_midi,
 )
+# mp3 decode (system libmpg123 via ctypes) is imported lazily by callers:
+# `from mst_tpu.audio import mp3` — keeping this package import free of
+# ctypes library probing.

@@ -180,12 +180,18 @@ def _render_unpitched(out, onset, dur, note_id, velocity,
         out[start:start + n] += seg[:max(0, len(out) - start)]
 
 
-def render_midi(midi_data, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
-    """Parsed MidiFileData -> mono PCM: all channels rendered and mixed."""
+def render_midi(midi_data, sample_rate: int = SAMPLE_RATE,
+                max_seconds: float = None) -> np.ndarray:
+    """Parsed MidiFileData -> mono PCM: all channels rendered and mixed.
+
+    ``max_seconds`` truncates the render — the bundled mp3 renditions are
+    ~30 s excerpts, so comparing against them only needs the opening."""
     from mst_tpu.ops.events import read_midi
     from mst_tpu.io.midi import is_pitched
     channels, info = read_midi(midi_data)
     total = tick2second(info.duration, info.ticks_per_beat, info.tempo) + 0.5
+    if max_seconds is not None:
+        total = min(total, float(max_seconds))
     mix = np.zeros(int(total * sample_rate) + 1, np.float64)
     for ch in channels:
         notes = pair_notes(ch["messages"])
