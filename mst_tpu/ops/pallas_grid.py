@@ -39,6 +39,7 @@ dense-kernel == jnp bit-level agreement on the virtual mesh).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 
@@ -111,11 +112,27 @@ def set_force_interpret(force: bool) -> None:
 
 
 def set_jnp_tail(mode: str) -> None:
-    """Select the jnp tail implementation: "vjp" or "checkpoint"."""
-    if mode not in ("vjp", "checkpoint"):  # not an assert: must survive -O
+    """Select the jnp tail implementation: "vjp", "checkpoint" or
+    "unrolled" (forward-only programs; see _tail_unrolled)."""
+    # not an assert: must survive -O
+    if mode not in ("vjp", "checkpoint", "unrolled"):
         raise ValueError(f"unknown jnp tail mode: {mode!r}")
     global _JNP_TAIL
     _JNP_TAIL = mode
+
+
+@contextlib.contextmanager
+def jnp_tail(mode: str):
+    """Scoped set_jnp_tail — the trace-time gate for programs that want a
+    specific tail lowering (e.g. the transfer serving path traces its
+    forward-only programs under "unrolled")."""
+    global _JNP_TAIL
+    prev = _JNP_TAIL
+    set_jnp_tail(mode)
+    try:
+        yield
+    finally:
+        _JNP_TAIL = prev
 
 
 def _leaky(x):
@@ -262,6 +279,35 @@ def _tail_jnp(xo, xd, w, rest, scale):
     tail = jax.checkpoint(
         lambda xo, xd, w, rest: _tail_plain(xo, xd, w, rest, scale))
     return tail(xo, xd, w, rest)
+
+
+def _tail_unrolled(xo, xd, w, rest, scale):
+    """Forward-optimized formulation for NO-GRAD programs (transfer serving):
+    the K-contraction is unrolled over the F output features so each feature
+    is ONE elementwise→reduce fusion that RECOMPUTES the leaky grid from the
+    small xo/xd embeddings instead of reading a materialized grid.
+
+    Why: XLA's lowering of ``(grid * w).sum(-2)`` materializes the
+    (…, O, D, K) grid to HBM once (the grid element is reused F times, so
+    the fusion cost model declines to duplicate the producer into the
+    reduce) — measured 6.11 ms / 4.05 GB per call at the v5e transfer apply
+    bucket (B=12, C=8, R=128), ~81% of HBM peak, i.e. the bytes ARE the
+    cost. Per-feature unrolling trades those grid bytes for F recomputes of
+    x1+x2+leaky (VPU work, free under an HBM-bound roofline).
+
+    Values: the per-(o,d,f) sum reduces over the same K elements in the same
+    ascending order as the broadcast form; bit-equality with _tail_plain is
+    asserted on hardware by tools/ab_tail_unrolled.py and pinned by
+    tests/test_fused_tails.py on CPU. Gradients: autodiff works but nothing
+    guarantees the backward's HBM behavior — training keeps "checkpoint"."""
+    x1 = _leaky(xo)[..., :, None, :]                  # (…, O, 1, K)
+    x2 = _leaky(xd)[..., None, :, :]                  # (…, 1, D, K)
+    parts = [(_leaky(x1 + x2) * w[:, f]).sum(axis=-1)
+             for f in range(w.shape[-1])]
+    y = jnp.stack(parts, axis=-1)                     # (…, O, D, F)
+    y = y.reshape(y.shape[:-3] + (-1, y.shape[-1]))
+    sc = jnp.asarray(scale, y.dtype)
+    return jax.nn.sigmoid(y + rest) * sc
 
 
 def _unbroadcast(ct, shape):
@@ -416,6 +462,8 @@ def fused_grid_tail(xo, xd, w, rest, scale, interpret=None):
                 or (on_cpu and not _FORCE_INTERPRET)):
             if _JNP_TAIL == "vjp":
                 return _tail_vjp(xo, xd, w, rest, scale)
+            if _JNP_TAIL == "unrolled":
+                return _tail_unrolled(xo, xd, w, rest, scale)
             return _tail_jnp(xo, xd, w, rest, scale)
         interpret = on_cpu
 

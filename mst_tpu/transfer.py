@@ -67,6 +67,23 @@ def _pack_output(x, ticks_per_beat):
     return dur_ticks, vel_byte, code.astype(jnp.uint8)
 
 
+def _pack_word(x, ticks_per_beat):
+    """_pack_output fused into ONE uint32 word per cell —
+    ``dur<<16 | vel<<8 | acc``, zero where the velocity byte gates out —
+    exactly the record payload _compact_song emits.
+
+    Handing the compaction a single u32 array instead of the (dur, vel, acc)
+    triple matters on TPU: the block compaction consumes the roll in FLAT
+    cell order, and the 6-D tiled -> flat flatten is a relayout XLA lowers
+    as a sequential per-job slice loop (v5e transfer trace: three ~4 ms
+    "wide" while loops per request, one per array — ~3.7 ms/song with their
+    update-slices). One packed word pays that relayout once."""
+    dur, vel, acc = _pack_output(x, ticks_per_beat)
+    word = ((dur.astype(jnp.uint32) << 16) | (vel.astype(jnp.uint32) << 8)
+            | acc.astype(jnp.uint32))
+    return jnp.where(vel > 0, word, jnp.uint32(0))
+
+
 COMPACT_CAPACITIES = (16384, 65536, 262144, 1048576)
 
 # Fetched-record POOL tiers: without a device mesh, an apply batch's records
@@ -138,11 +155,11 @@ def _device_pick_instruments(logits, n_instruments, max_channels):
     return picked, n_picked, has_unpitched
 
 
-def _compact_song(dur, vel, acc, n_channels, n_bars, capacity, max_blocks):
-    """Nonzero-velocity compaction of one song's packed raster
-    ((C, R, T, F10, N) arrays) into a flat uint32 record block: per note
-    [cell_index, dur<<16 | vel<<8 | acc] — 8 bytes. Returns
-    (count, n_live_blocks, records).
+def _compact_song(word_raw, n_channels, n_bars, capacity, max_blocks):
+    """Nonzero-velocity compaction of one song's packed raster (the
+    (C, R, T, F10, N) uint32 word array from _pack_word) into a flat uint32
+    record block: per note [cell_index, dur<<16 | vel<<8 | acc] — 8 bytes.
+    Returns (count, n_live_blocks, records).
 
     TPU-first, scatter-free design: a flat ``jnp.nonzero`` over the ~4.6M-cell
     roll lowers to a 55M-row scatter plus O(n*128) reduce-window cumsums —
@@ -155,14 +172,11 @@ def _compact_song(dur, vel, acc, n_channels, n_bars, capacity, max_blocks):
     order), ~2x faster end-to-end. Blocks beyond ``max_blocks`` overflow the
     routing table; the count is reported in the header so the capacity ladder
     escalates (same contract as record-count overflow)."""
-    shape = vel.shape
+    shape = word_raw.shape
     c_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     r_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     valid = (c_idx < n_channels) & (r_idx < n_bars)
-    word = jnp.where(valid & (vel > 0),
-                     (dur.astype(jnp.uint32) << 16)
-                     | (vel.astype(jnp.uint32) << 8)
-                     | acc.astype(jnp.uint32), 0)
+    word = jnp.where(valid, word_raw, 0)
     flat = word.reshape(-1)
     M = flat.shape[0]
     maskf = (flat != 0).astype(jnp.float32)
@@ -227,20 +241,17 @@ def _compact_song(dur, vel, acc, n_channels, n_bars, capacity, max_blocks):
             rec)  # (capacity, 2) uint32
 
 
-def _compact_song_dense(dur, vel, acc, n_channels, n_bars, capacity):
+def _compact_song_dense(word_raw, n_channels, n_bars, capacity):
     """Flat jnp.nonzero compaction — the escape hatch for pathologically
     SPREAD rolls whose live-block count overflows even the top tier's routing
     table while the record count itself fits. Slow (XLA lowers it to a full
     scatter + reduce-window cumsums) but density-independent; only compiled
     when a batch actually exhausts the block ladder. Bit-identical records."""
-    shape = vel.shape
+    shape = word_raw.shape
     c_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     r_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     valid = (c_idx < n_channels) & (r_idx < n_bars)
-    word = jnp.where(valid & (vel > 0),
-                     (dur.astype(jnp.uint32) << 16)
-                     | (vel.astype(jnp.uint32) << 8)
-                     | acc.astype(jnp.uint32), 0)
+    word = jnp.where(valid, word_raw, 0)
     flat = word.reshape(-1)
     count = (flat != 0).sum()
     idx = jnp.nonzero(flat, size=capacity, fill_value=0)[0]
@@ -286,13 +297,20 @@ def _raster_extract_latents(model, params, p_notes, u_notes, mode, bpm, instf,
     n_rows_p = B * Cb * Rb * T * 10
     flat_p = segment_rasterize(*p_notes, n_rows_p, 56, 5,
                                out_dtype=storage_dtype())
-    pitched = flat_p.reshape(B, Cb, Rb, T, 10, 56, 5)
+    # NF-fused handoff: split only the LEADING row dim here (free — row-major
+    # majors) and keep (note, feature) fused in the minor axis; the model
+    # entry splits NF inside its first fusion (ops.shapes.split_note_features).
+    # Splitting the minor axis at this boundary instead materialized a
+    # standalone relayout of the whole raster — 4.2 ms/song of the 27.9 ms
+    # device time on the v5e transfer trace (reshape.53 + copy.796, the
+    # minor-dim-5 tiling), the same cost the train path killed in round 4.
+    pitched = flat_p.reshape(B, Cb, Rb, T, 10, 56 * 5)
     unpitched = None
     if has_unpitched:
         n_rows_u = B * Rb * T * 10
         flat_u = segment_rasterize(*u_notes, n_rows_u, 47, 2,
                                    out_dtype=storage_dtype())
-        unpitched = flat_u.reshape(B, 1, Rb, T, 10, 47, 2)
+        unpitched = flat_u.reshape(B, 1, Rb, T, 10, 47 * 2)
     return model.apply(
         params, mode, bpm, pitched, instf, unpitched,
         bar_lengths=lengths, channel_mask=cmask,
@@ -369,26 +387,26 @@ def _fused_transfer_apply(model, feature_table, params, style, melody, rhythm,
     x_p, x_u = model.apply(params, style, melody, rhythm, instf, True,
                            method=StyleTransferModel.apply_style)
     tpb_b = tpb.reshape((B,) + (1,) * 5)
-    dur_p, vel_p, acc_p = _pack_output(x_p, tpb_b)
-    dur_u, vel_u, acc_u = _pack_output(x_u, tpb_b)
+    word_p = _pack_word(x_p, tpb_b)
+    word_u = _pack_word(x_u, tpb_b)
     blocks_p, blocks_u = _block_capacities(capacity)
     cap_u = capacity // 4
     if dense_compaction:
-        def compact_p(d, v, a, nc, nb):
-            return _compact_song_dense(d, v, a, nc, nb, capacity)
+        def compact_p(w, nc, nb):
+            return _compact_song_dense(w, nc, nb, capacity)
 
-        def compact_u(d, v, a, nc, nb):
-            return _compact_song_dense(d, v, a, nc, nb, cap_u)
+        def compact_u(w, nc, nb):
+            return _compact_song_dense(w, nc, nb, cap_u)
     else:
-        def compact_p(d, v, a, nc, nb):
-            return _compact_song(d, v, a, nc, nb, capacity, blocks_p)
+        def compact_p(w, nc, nb):
+            return _compact_song(w, nc, nb, capacity, blocks_p)
 
-        def compact_u(d, v, a, nc, nb):
-            return _compact_song(d, v, a, nc, nb, cap_u, blocks_u)
+        def compact_u(w, nc, nb):
+            return _compact_song(w, nc, nb, cap_u, blocks_u)
     count_p, live_p, rec_p = jax.vmap(compact_p)(
-        dur_p, vel_p, acc_p, n_picked, bar_lengths)
+        word_p, n_picked, bar_lengths)
     count_u, live_u, rec_u = jax.vmap(compact_u)(
-        dur_u, vel_u, acc_u, jnp.where(has_unpitched, 1, 0), bar_lengths)
+        word_u, jnp.where(has_unpitched, 1, 0), bar_lengths)
 
     header = jnp.stack([
         jnp.round(bpm_pred).astype(jnp.uint32),
@@ -474,6 +492,11 @@ class ModelBundle:
     # stage and its packed wire formats always run at fp32 storage —
     # tools/ab_extract_storage.py is the measured A/B behind the default)
     extract_storage_dtype: Optional[str] = None
+    # note-grid tail formulation for these (forward-only) programs; the
+    # default avoids materializing the applier grid to HBM (bit-identical
+    # outputs — ops.pallas_grid._tail_unrolled). "checkpoint" restores the
+    # training lowering.
+    tail_mode: str = "unrolled"
     _jitted: dict = dataclasses.field(default_factory=dict)
     _raw: dict = dataclasses.field(default_factory=dict)  # key -> pre-jit fn
 
@@ -501,13 +524,20 @@ class ModelBundle:
         None pins EXPLICIT float32 storage — transfer programs must never
         inherit a process-global storage dtype someone set for training
         (``precision(storage=None)`` would), or the apply stage's proven
-        fp32 packed wire format silently narrows."""
+        fp32 packed wire format silently narrows.
+
+        Every bundle program is forward-only, so the applier's note-grid
+        tail traces under the bundle's ``tail_mode`` (default "unrolled" —
+        bit-identical to the checkpoint form, fuses away the grid's HBM
+        round trip; see ops.pallas_grid._tail_unrolled)."""
+        from mst_tpu.ops.pallas_grid import jnp_tail
         from mst_tpu.ops.precision import precision
         dtype = self.model.config.compute_dtype
 
         def wrapped(*args, **kwargs):
             with precision(dtype, storage=("float32" if storage is None
-                                           else storage)):
+                                           else storage)), \
+                    jnp_tail(self.tail_mode):
                 return f(*args, **kwargs)
         return wrapped
 

@@ -99,6 +99,21 @@ def test_vjp_tail_forward_bitwise_vs_checkpoint():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_unrolled_tail_forward_bitwise_vs_checkpoint():
+    """The transfer serving tail (_tail_unrolled — per-feature fusions that
+    recompute the leaky grid instead of materializing it to HBM) reduces
+    each output element over the same K values in the same ascending order
+    as the checkpointed broadcast form, so outputs are BIT-identical — the
+    property that lets ModelBundle default to it without perturbing the
+    packed wire bytes."""
+    from mst_tpu.ops.pallas_grid import _tail_jnp, _tail_unrolled
+    rng = np.random.default_rng(5)
+    args = _inputs(rng, B=2, C=3, R=4, T=2, F10=5)
+    a = jax.jit(lambda a: _tail_unrolled(*a, SCALE))(args)
+    b = jax.jit(lambda a: _tail_jnp(*a, SCALE))(args)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_vjp_tail_grad_matches_naive():
     """The fused backward (per-chain optimization_barrier recompute) equals
     autodiff of the dense formulation to float32 reassociation tolerance,

@@ -200,9 +200,13 @@ def test_compact_song_chunked_tier_matches_dense():
            * rng.integers(1, 128, shape)).astype(np.uint8)
     dur = rng.integers(0, 1000, shape).astype(np.uint16)
     acc = rng.integers(0, 3, shape).astype(np.uint8)
+    word = np.where(vel > 0,
+                    (dur.astype(np.uint32) << 16)
+                    | (vel.astype(np.uint32) << 8)
+                    | acc.astype(np.uint32), 0).astype(np.uint32)
     capacity = 65536
     assert capacity > _COMPACT_CHUNK  # the chunked branch is what's tested
-    args = (jnp.asarray(dur), jnp.asarray(vel), jnp.asarray(acc), C, R)
+    args = (jnp.asarray(word), C, R)
     count, _, rec = jax.jit(lambda *a: _compact_song(
         *a, capacity, _block_capacities(capacity)[0]))(*args)
     count_d, _, rec_d = jax.jit(lambda *a: _compact_song_dense(
